@@ -146,11 +146,8 @@ def g2p(p: Particles, grid_v, cfg: SimConfig, dt) -> Particles:
     MLS-MPM velocity-gradient F-update, material return map, advect,
     position clamp, and RPIC/APIC damping (mpm.h:465-469).
     """
-    import dataclasses
-
     d = cfg.dim
     nodes = cfg.grid_nodes
-    invD = inv_D(cfg.kernel_order)
     pos, base, w = _weights(cfg, p.x)
 
     flat_v = grid_v.reshape(-1, d)
@@ -166,6 +163,18 @@ def g2p(p: Particles, grid_v, cfg: SimConfig, dt) -> Particles:
         gv = jnp.where(inb[:, None], flat_v[lin], 0.0)
         v_new = v_new + wo[:, None] * gv
         b_new = b_new + outer(wo[:, None] * gv, dpos)
+
+    return g2p_finish(p, v_new, b_new, cfg, dt)
+
+
+def g2p_finish(p: Particles, v_new, b_new, cfg: SimConfig, dt) -> Particles:
+    """Shared tail of G2P: damping, MLS F-update, plasticity, advection,
+    clamping, NaN robustness. Used by both the XLA gather path above and
+    the blocked Pallas path (ops.substep)."""
+    import dataclasses
+
+    d = cfg.dim
+    invD = inv_D(cfg.kernel_order)
 
     # RPIC/APIC damping (mpm.h:465-469).
     b_sym = 0.5 * (b_new + jnp.swapaxes(b_new, -1, -2))

@@ -1,0 +1,181 @@
+"""Fused G2P gather as a Pallas TPU kernel (window-based).
+
+TPU-native replacement for the reference's SIMD blocked resample
+(/root/reference/src/transfer.cpp:702-970). The grid is one program per
+512-particle *window* of the block-sorted particle array — so every
+input/output block is a static, aligned BlockSpec tile and adjacent
+programs can never collide on writes. Within a window the kernel walks
+the (few) runs of equal block id, fetches each run's (24,128) grid tile
+[(c,i), (j,k)] with a manual DMA, and reconstructs for the masked lanes
+
+    v_p = sum_n w_n gv_n
+    B_p = sum_n w_n gv_n (pos - node)^T   (APIC affine, grid units)
+
+with one MXU matmul per run: the tile is stacked with its y/z
+node-moment-scaled copies (72 rows), contracted against the tensor-
+product yz-weights, and finished with x-axis weight folds — the same
+node-coordinate moment decomposition as the P2G kernel, transposed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from taichi_mpm_tpu.ops.blocked import BLOCK, TILE
+from taichi_mpm_tpu.ops.p2g_pallas import (
+    CHUNK,
+    NJK,
+    _HI,
+    _axis_weights_T,
+    _wyzT,
+)
+
+NCI = 3 * TILE  # 21 live tile rows: (c, i)
+GTROWS = 24  # padded tile rows
+GTLANES = 128  # padded tile lanes (49 live)
+NOUTP = 16  # output rows per particle: v(3) B(9) pad(4)
+
+
+def _g2p_kernel(dims_ref, keys_ref, posg_ref, gt_hbm, out_ref, tbuf, sem_t):
+    nbt = dims_ref[0]
+    nby = dims_ref[1]
+    nbz = dims_ref[2]
+
+    kb2 = keys_ref[:]  # (1, CHUNK) int32 block ids, sorted; NBtot = inactive
+    pos = posg_ref[:]  # (8, CHUNK) rows: global grid-unit x, y, z
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    lane49 = jax.lax.broadcasted_iota(jnp.int32, (1, NJK), 1)
+    jn49 = (lane49 // TILE - 1).astype(jnp.float32)
+    kn49 = (lane49 % TILE - 1).astype(jnp.float32)
+
+    def cond(carry):
+        r, acc = carry
+        return r < CHUNK
+
+    def body(carry):
+        r, acc = carry
+        # current run's block id: min key among rows >= r
+        b_cur = jnp.min(jnp.where(lane1 >= r, kb2, nbt))
+        valid = b_cur < nbt
+        b_dma = jnp.minimum(b_cur, nbt - 1)
+
+        cp = pltpu.make_async_copy(gt_hbm.at[b_dma], tbuf, sem_t)
+        cp.start()
+        cp.wait()
+
+        # decode block origin (grid units)
+        bz = jax.lax.rem(b_dma, nbz)
+        by = jax.lax.rem(b_dma // nbz, nby)
+        bx = b_dma // (nbz * nby)
+        px = pos[0:1, :] - (bx * BLOCK).astype(jnp.float32)
+        py = pos[1:2, :] - (by * BLOCK).astype(jnp.float32)
+        pz = pos[2:3, :] - (bz * BLOCK).astype(jnp.float32)
+
+        mask = ((kb2 == b_cur) & valid).astype(jnp.float32)
+        wyzT = _wyzT(py, pz) * mask  # (49, CHUNK)
+        wx = _axis_weights_T(px)  # (8, CHUNK)
+
+        gt21 = tbuf[0:NCI, 0:NJK]  # (21, 49)
+        gt72 = jnp.concatenate([gt21, gt21 * jn49, gt21 * kn49], 0)  # (63->72?)
+        s_t = jax.lax.dot_general(
+            gt72,
+            wyzT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HI,
+        )  # (63, CHUNK): rows [(c,i) plain, (c,i) y-moment, (c,i) z-moment]
+
+        irow = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0).astype(
+                jnp.float32
+            )
+            - 1.0
+        )
+        wx1 = wx * irow
+
+        def fold(block_off, weights, c):
+            o = block_off + c * TILE
+            out = weights[0:1, :] * s_t[o : o + 1, :]
+            for i in range(1, TILE):
+                out = out + weights[i : i + 1, :] * s_t[o + i : o + i + 1, :]
+            return out  # (1, CHUNK)
+
+        v = jnp.concatenate([fold(0, wx, c) for c in range(3)], 0)  # (3,CH)
+        xm = jnp.concatenate([fold(0, wx1, c) for c in range(3)], 0)
+        ym = jnp.concatenate([fold(NCI, wx, c) for c in range(3)], 0)
+        zm = jnp.concatenate([fold(2 * NCI, wx, c) for c in range(3)], 0)
+
+        bc0 = px * v - xm  # B column 0, rows = c
+        bc1 = py * v - ym
+        bc2 = pz * v - zm
+
+        contrib = jnp.concatenate(
+            [
+                v,
+                bc0[0:1], bc1[0:1], bc2[0:1],
+                bc0[1:2], bc1[1:2], bc2[1:2],
+                bc0[2:3], bc1[2:3], bc2[2:3],
+                jnp.zeros((4, CHUNK), jnp.float32),
+            ],
+            axis=0,
+        )  # (16, CHUNK)
+        acc = acc + contrib
+
+        # advance to the first row past this run
+        r_next = jnp.sum((kb2 <= b_cur).astype(jnp.int32))
+        r_next = jnp.where(valid, r_next, CHUNK)
+        return r_next, acc
+
+    _, acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((NOUTP, CHUNK), jnp.float32))
+    )
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
+    """Run the G2P kernel.
+
+    Args:
+      keys: (1, Pw) int32 sorted block ids (NBtot sentinel for inactive);
+        Pw a multiple of CHUNK.
+      posg: (8, Pw) f32 rows [x, y, z] in *global grid units*.
+      gtiles: (NB, 24, 128) f32 grid tiles [(c,i), (j,k)] from
+        extract_tiles.
+      nb_dims: (3,) int32 [NBtot, nby, nbz] (scalar-prefetched).
+
+    Returns (16, Pw) f32 rows [v(3), B row-major(9), 0 x4].
+    """
+    pw = keys.shape[1]
+    nwin = pw // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nwin,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK), lambda q, *_: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CHUNK), lambda q, *_: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (NOUTP, CHUNK), lambda q, *_: (0, q), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GTROWS, GTLANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _g2p_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NOUTP, pw), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(nb_dims, keys, posg, gtiles)

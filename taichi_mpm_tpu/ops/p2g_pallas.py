@@ -1,0 +1,203 @@
+"""Fused P2G scatter as a Pallas TPU kernel.
+
+TPU-native replacement for the reference's SIMD blocked rasterize
+(/root/reference/src/transfer.cpp:361-581): one program per 4^3-cell
+grid block streams its sorted particle range from HBM (double-buffered
+DMA), evaluates the quadratic B-spline weights *densely* over the
+block's 7-node support (no scatter anywhere), and accumulates the
+block's (7,7,7) halo tile with a single MXU matmul per chunk:
+
+    tile[(i,c), (j,k)] = sum_p VAL2[(i,c), p] * WYZT[(j,k), p]
+
+(a lane-contracted dot_general: both operands keep particles on the
+128-lane axis, which is also what HBM DMA requires). VAL2 folds the
+per-x-node weight into 16 value channels (momentum + mass + the three
+affine columns); the affine-in-node-coordinate decomposition
+
+    value(node) = c0 - nx*A[:,0] - ny*A[:,1] - nz*A[:,2]
+
+turns the node-dependent scattered value into node-independent matmul
+channels, finished by an elementwise correction. Halo tiles are merged
+into the dense blocked grid by taichi_mpm_tpu.ops.blocked.merge_tiles.
+
+TPU DMA constraints shape the layout: slices of HBM arrays must have a
+lane dimension that is a multiple of 128, at 128-aligned offsets. The
+per-block range [s, e) is therefore fetched from align128(s) with the
+head rows (previous block's particles) masked out in-kernel — no
+padding of the sorted particle array is needed.
+
+Particle positions are block-local, so all coordinate arithmetic stays
+in [-1, 5) — no catastrophic cancellation against absolute coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from taichi_mpm_tpu.ops.blocked import TILE
+
+CHUNK = 512
+ALIGN = 128
+NVAL = 16  # value channels: mv(3) mass(1) A-col0(3) 0 A-col1(3) 0 A-col2(3) 0
+NROW = NVAL * TILE  # 112 matmul M
+NJK = TILE * TILE  # 49 matmul N
+NOUT = 4 * TILE  # 28 output rows: (i, c)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _quadratic_weight(t):
+    """Dense quadratic B-spline N(t), zero outside |t| < 1.5."""
+    a = jnp.abs(t)
+    inner = 0.75 - t * t
+    outer = 0.5 * (1.5 - a) * (1.5 - a)
+    return jnp.where(a <= 0.5, inner, jnp.where(a < 1.5, outer, 0.0))
+
+
+def _axis_weights_T(pos_row):
+    """(8, CHUNK) weights at local nodes i-1 for i in 0..6 (row 7 unused)."""
+    irow = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0).astype(jnp.float32)
+        - 1.0
+    )
+    return _quadratic_weight(pos_row - irow)
+
+
+def _wyzT(py_row, pz_row):
+    """(49, CHUNK) tensor-product y/z weights, particles on lanes."""
+    wy = _axis_weights_T(py_row)
+    wz = _axis_weights_T(pz_row)
+    return jnp.concatenate(
+        [wy[j : j + 1, :] * wz[0:TILE, :] for j in range(TILE)], axis=0
+    )
+
+
+def _p2g_kernel(starts_ref, pdata_hbm, out_ref, pbuf, sem_p):
+    b = pl.program_id(0)
+    s = starts_ref[b]
+    e = starts_ref[b + 1]
+    cnt = e - s
+    dstart = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
+    nch = jnp.where(cnt > 0, pl.cdiv(e - dstart, CHUNK), 0)
+
+    def dma_p(slot, ci):
+        return pltpu.make_async_copy(
+            pdata_hbm.at[:, pl.ds(dstart + ci * CHUNK, CHUNK)],
+            pbuf.at[slot],
+            sem_p.at[slot],
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        dma_p(0, 0).start()
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nch)
+        def _():
+            dma_p(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        dma_p(slot, ci).wait()
+        pd = pbuf[slot]  # (16, CHUNK): fields on sublanes, particles on lanes
+
+        # mask lanes outside the block's exact [s, e) range
+        gidx = dstart + ci * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1
+        )
+        mask = ((gidx >= s) & (gidx < e)).astype(jnp.float32)
+
+        wyzT = _wyzT(pd[14:15, :], pd[15:16, :]) * mask  # (49, CHUNK)
+        wx = _axis_weights_T(pd[13:14, :])  # (8, CHUNK)
+
+        mv = pd[0:3, :]
+        m = pd[3:4, :]
+        A = pd[4:13, :]  # row-major A00..A22
+        px, py, pz = pd[13:14, :], pd[14:15, :], pd[15:16, :]
+        c0 = mv + jnp.concatenate(
+            [
+                A[0:1] * px + A[1:2] * py + A[2:3] * pz,
+                A[3:4] * px + A[4:5] * py + A[5:6] * pz,
+                A[6:7] * px + A[7:8] * py + A[8:9] * pz,
+            ],
+            axis=0,
+        )
+        zero = jnp.zeros_like(m)
+        a0 = jnp.concatenate([A[0:1], A[3:4], A[6:7], zero], 0)  # A[:,0], pad
+        a1 = jnp.concatenate([A[1:2], A[4:5], A[7:8], zero], 0)
+        a2 = jnp.concatenate([A[2:3], A[5:6], A[8:9], zero], 0)
+        val = jnp.concatenate([c0, m, a0, a1, a2], 0)  # (16, CHUNK)
+
+        val2 = jnp.concatenate(
+            [val * wx[i : i + 1, :] for i in range(TILE)], 0
+        )  # (112, CHUNK)
+
+        prod = jax.lax.dot_general(
+            val2,
+            wyzT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HI,
+        )  # (112, 49)
+        return acc + prod
+
+    acc = jax.lax.fori_loop(0, nch, body, jnp.zeros((NROW, NJK), jnp.float32))
+
+    # node-coordinate correction -> (28, 49) tile [i, c, (j,k)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (3, NJK), 1)
+    ny = (lane // TILE - 1).astype(jnp.float32)
+    nz = (lane % TILE - 1).astype(jnp.float32)
+    pieces = []
+    for i in range(TILE):
+        o = i * NVAL
+        nx = float(i - 1)
+        mom = (
+            acc[o : o + 3]
+            - nx * acc[o + 4 : o + 7]
+            - ny * acc[o + 8 : o + 11]
+            - nz * acc[o + 12 : o + 15]
+        )
+        pieces.append(jnp.concatenate([mom, acc[o + 3 : o + 4]], 0))
+    out_ref[0] = jnp.concatenate(pieces, 0)  # (28, 49)
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks_total", "interpret"))
+def p2g_blocked(starts, pdata, num_blocks_total: int, interpret: bool = False):
+    """Run the P2G kernel.
+
+    Args:
+      starts: (NB+1,) int32 sorted-range offsets per block.
+      pdata: (16, Ppad) f32 — rows [mv(3), mass, A row-major(9),
+        pos_local(3)]; Ppad must be a multiple of 128 with at least CHUNK
+        rows of slack past the last active particle.
+      num_blocks_total: NB (static).
+
+    Returns tiles (NB, 28, 49) f32 — [(i,c), (j,k)] halo tiles.
+    """
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NOUT, NJK), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NVAL, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _p2g_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_blocks_total, NOUT, NJK), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(starts, pdata)
