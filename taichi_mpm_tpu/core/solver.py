@@ -88,25 +88,38 @@ class MPM:
         self.particles: Optional[Particles] = None
         self.t = jnp.float32(0.0)
         self._frame_jit = None
+        # CPIC rigid-body state (built lazily on the first type='rigid')
+        self._rigid_builder = None
+        self.bodies = None
+        self.rigid_scene = None
 
     # -- scene construction -------------------------------------------------
 
     def add_particles(
         self,
         type: str,
-        pos: np.ndarray,
+        pos: Optional[np.ndarray] = None,
         vel: Optional[np.ndarray] = None,
-        density: float = 400.0,
+        density: Optional[float] = None,
         ppc: float = 8.0,
         mass: Optional[float] = None,
         vol: Optional[float] = None,
         **mat_kw,
     ):
-        """Seed particles of a material at explicit positions.
+        """Seed particles of a material at explicit positions, or add a
+        rigid body (type='rigid', reference mpm_rigid_body.cpp:135-271).
 
         vol = dx^d / ppc and mass = vol * density by default
         (mpm.cpp:134-135). Explicit mass/vol override for oracle scenes.
         """
+        if type == "rigid":
+            return self._add_rigid(
+                density=density,
+                initial_velocity=vel,
+                **mat_kw,
+            )
+        if density is None:
+            density = 400.0
         pos = np.asarray(pos, np.float32)
         n, d = pos.shape
         assert d == self.cfg.dim
@@ -134,6 +147,29 @@ class MPM:
 
     def add_collider(self, collider):
         self.colliders.append(collider)
+        self._frame_jit = None
+
+    # -- rigid bodies (CPIC) ---------------------------------------------------
+
+    def _add_rigid(self, mesh=None, mesh_fn: Optional[str] = None, **kw) -> int:
+        """Add a rigid body; returns its id (>= 1; 0 is the background)."""
+        from taichi_mpm_tpu.rigid.mesh import load_obj
+        from taichi_mpm_tpu.rigid.scene import RigidSceneBuilder
+
+        if self._rigid_builder is None:
+            self._rigid_builder = RigidSceneBuilder(self.cfg.dim, self.cfg.dx)
+        if mesh is None:
+            assert mesh_fn, "rigid body needs mesh= (array) or mesh_fn= (obj path)"
+            mesh = load_obj(mesh_fn)
+        rid = self._rigid_builder.add_rigid(mesh, t0=float(self.t), **kw)
+        self._frame_jit = None
+        return rid
+
+    def add_articulation(self, type: str, obj0: int, obj1: int = 0, **kw):
+        """Constrain two rigid bodies (reference general_action
+        'add_articulation', mpm.cpp:921-933)."""
+        assert self._rigid_builder is not None, "add rigid bodies first"
+        self._rigid_builder.add_articulation(type, obj0, obj1, **kw)
         self._frame_jit = None
 
     # -- state finalization --------------------------------------------------
@@ -164,10 +200,35 @@ class MPM:
         self.cfg = self.cfg.with_materials(mats)
         self.particles = p
         self._pending = []
+        if self._rigid_builder is not None:
+            self.bodies, self.rigid_scene = self._rigid_builder.build(
+                tuple(self.colliders)
+            )
+            self.cfg = dataclasses.replace(
+                self.cfg, num_rigids=self._rigid_builder.num
+            )
 
     def _build_jit(self, n_substeps: int):
         cfg = self.cfg
         colliders = tuple(self.colliders)
+
+        if self.bodies is not None:
+            from taichi_mpm_tpu.rigid.cpic import cpic_substep
+
+            scene = self.rigid_scene
+
+            def fn(p, bodies, t):
+                def body(carry, _):
+                    pp, bb, tt = carry
+                    pp, bb, tt = cpic_substep(pp, bb, tt, cfg, scene, cfg.base_dt)
+                    return (pp, bb, tt), None
+
+                (p, bodies, t), _ = jax.lax.scan(
+                    body, (p, bodies, t), None, length=n_substeps
+                )
+                return p, bodies, t
+
+            return jax.jit(fn)
 
         def fn(p, t):
             return frame_fn(p, t, cfg, colliders, cfg.base_dt, n_substeps)
@@ -186,7 +247,12 @@ class MPM:
             self._frame_jit = self._build_jit(n_sub)
             self._frame_substeps = n_sub
         assert n_sub == self._frame_substeps, "frame_dt changed mid-run"
-        self.particles, self.t = self._frame_jit(self.particles, self.t)
+        if self.bodies is not None:
+            self.particles, self.bodies, self.t = self._frame_jit(
+                self.particles, self.bodies, self.t
+            )
+        else:
+            self.particles, self.t = self._frame_jit(self.particles, self.t)
         return self.particles
 
     def simulate(self, num_frames: int, frame_update=None):

@@ -36,6 +36,11 @@ class Particles:
     mat: jnp.ndarray  # (P,) int32 material id
     params: jnp.ndarray  # (P, 8) material parameters
     active: jnp.ndarray  # (P,) bool
+    # CPIC fields (zero/inert when the scene has no rigid bodies):
+    states: jnp.ndarray  # (P,) int32 affinity bits, 2 per rigid
+    bdist: jnp.ndarray  # (P,) signed boundary distance (world units)
+    bnormal: jnp.ndarray  # (P, d) boundary normal
+    near_b: jnp.ndarray  # (P,) bool near-boundary flag
 
     @property
     def capacity(self) -> int:
@@ -62,6 +67,10 @@ def empty_particles(capacity: int, dim: int) -> Particles:
         mat=jnp.zeros((capacity,), jnp.int32),
         params=jnp.zeros((capacity, 8), jnp.float32),
         active=jnp.zeros((capacity,), bool),
+        states=jnp.zeros((capacity,), jnp.int32),
+        bdist=jnp.zeros((capacity,), jnp.float32),
+        bnormal=jnp.zeros((capacity, dim), jnp.float32),
+        near_b=jnp.zeros((capacity,), bool),
     )
 
 

@@ -167,10 +167,12 @@ def g2p(p: Particles, grid_v, cfg: SimConfig, dt) -> Particles:
     return g2p_finish(p, v_new, b_new, cfg, dt)
 
 
-def g2p_finish(p: Particles, v_new, b_new, cfg: SimConfig, dt) -> Particles:
+def g2p_finish(p: Particles, v_new, b_new, cfg: SimConfig, dt, zero_C=None) -> Particles:
     """Shared tail of G2P: damping, MLS F-update, plasticity, advection,
     clamping, NaN robustness. Used by both the XLA gather path above and
-    the blocked Pallas path (ops.substep)."""
+    the blocked Pallas path (ops.substep). `zero_C` optionally masks
+    particles whose APIC B is reset (CPIC near-boundary particles,
+    transfer.cpp:649-655) while the F-update still uses b_new."""
     import dataclasses
 
     d = cfg.dim
@@ -182,6 +184,8 @@ def g2p_finish(p: Particles, v_new, b_new, cfg: SimConfig, dt) -> Particles:
     C_new = (1.0 - cfg.rpic_damping) * b_sym + (1.0 - cfg.apic_damping) * b_skew
     if not cfg.apic:
         C_new = jnp.zeros_like(C_new)
+    if zero_C is not None:
+        C_new = jnp.where(zero_C[:, None, None], 0.0, C_new)
 
     # MLS-MPM F-update: cdg = I - invD dt inv_dx B (transfer.cpp:659-661).
     eye = jnp.eye(d, dtype=b_new.dtype)

@@ -80,6 +80,7 @@ def build_sharded_frame(
     p_specs = Particles(
         x=pspec, v=pspec, F=pspec, C=pspec, aux=pspec, mass=pspec,
         vol=pspec, mat=pspec, params=pspec, active=pspec,
+        states=pspec, bdist=pspec, bnormal=pspec, near_b=pspec,
     )
     fn = shard_map(
         local_frame,

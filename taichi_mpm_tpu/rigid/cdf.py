@@ -1,0 +1,209 @@
+"""Compatible-Particle-In-Cell (CPIC) grid CDF: rasterize + gather.
+
+TPU-native re-design of /root/reference/src/rigid_transfer.cpp:
+  * ``rasterize_rigid_boundary`` (:18-117): rigid surface particles
+    scatter signed distance + color tags to grid nodes. The reference
+    resolves write conflicts with per-node spinlocks; here the
+    min-distance+id pair becomes a deterministic scatter-min on a packed
+    int32 key, and the 2-bit color tags become per-rigid scatter-max
+    planes (max over {2,3} == bitwise OR of the tag values).
+  * ``gather_cdf`` (:120-277): particles acquire affinity bits and
+    reconstruct signed distance + normal by weighted least squares over
+    color-compatible nodes.
+
+Bit layout matches GridState (mpm_fwd.h:78-112): rigid r owns bits
+[2r, 2r+1]: bit 2r+1 = "touched", bit 2r = "negative side". int32 caps
+the build at 12 rigid bodies, same as the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from taichi_mpm_tpu.config import SimConfig
+from taichi_mpm_tpu.core.transfer import _ravel, stencil_offsets
+from taichi_mpm_tpu.math.kernels import bspline_weights
+
+# Distance quantization for the packed scatter-min key (20 fractional
+# bits over [0, 4) grid units; low 8 bits hold rigid_id + 1).
+_DIST_SCALE = float(1 << 20)
+_KEY_INF = jnp.iinfo(jnp.int32).max
+
+# MLS reconstruction determinant guards (mpm_fwd.h:121-129).
+_GUARD = {2: 3e-3, 3: 1e-4}
+
+
+def state_mask(num_rigids: int) -> int:
+    """All 'touched' bits: 0b10 repeated per rigid (mpm.h:36 0xAAAA...)."""
+    m = 0
+    for r in range(num_rigids):
+        m |= 2 << (2 * r)
+    return m
+
+
+def _element_frame_coords(xg, elem):
+    """Coordinates of points xg (..., d) in each element's frame.
+
+    3D (world_to_element, rigid_transfer.cpp:30-49): solve
+    [e1 e2 n] @ c = xg - v0 -> c = (u, v, h); u,v barycentric, h = signed
+    world distance along the unit normal. 2D: [e1 n] @ c.
+    """
+    d = xg.shape[-1]
+    v0 = elem[..., 0, :]
+    e1 = elem[..., 1, :] - v0
+    if d == 2:
+        n = jnp.stack([e1[..., 1], -e1[..., 0]], -1)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+        M = jnp.stack([e1, n], -1)  # columns
+    else:
+        e2 = elem[..., 2, :] - v0
+        n = jnp.cross(e1, e2)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+        M = jnp.stack([e1, e2, n], -1)
+    rhs = (xg - v0)[..., None]
+    return jnp.linalg.solve(M, rhs)[..., 0]
+
+
+def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimConfig):
+    """Rigid boundary particles -> grid CDF.
+
+    Args:
+      xb: (B, d) world positions of boundary particles.
+      elem_world: (B, d, d) world-space element vertices.
+      bp_rid: (B,) int32 owning rigid id.
+    Returns:
+      grid_dist (N,) world-unit unsigned distance (0 where unset),
+      grid_rid (N,) int32 nearest rigid id (-1 none),
+      grid_states (N,) int32 packed color tags.
+    """
+    d = cfg.dim
+    nodes = cfg.grid_nodes
+    N = 1
+    for n in nodes:
+        N *= n
+    pos = xb * cfg.inv_dx
+    base, _, _ = bspline_weights(2, pos)  # cdf_kernel_order_rasterize = 2
+
+    key = jnp.full((N,), _KEY_INF, jnp.int32)
+    tags = jnp.zeros((N, num_rigids), jnp.int32)
+
+    for off in stencil_offsets(d, 2):
+        idx = base + jnp.asarray(off, jnp.int32)
+        inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
+        xg = idx.astype(jnp.float32) * cfg.dx
+        coord = _element_frame_coords(xg, elem_world)
+        h = coord[..., d - 1]
+        negative = h < 0.0
+        dist_gu = jnp.abs(h) * cfg.inv_dx
+        if d == 2:
+            in_range = (coord[..., 0] >= -0.02) & (coord[..., 0] <= 1.02)
+        else:
+            in_range = (
+                (coord[..., 0] >= 0)
+                & (coord[..., 1] >= 0)
+                & (coord[..., 0] + coord[..., 1] <= 1.0)
+            )
+        valid = inb & in_range
+        lin = jnp.where(valid, _ravel(idx, nodes), 0)
+        q = jnp.minimum(dist_gu * _DIST_SCALE, _DIST_SCALE * 4 - 1).astype(jnp.int32)
+        k = (q << 8) | (bp_rid + 1)
+        key = key.at[lin].min(jnp.where(valid, k, _KEY_INF))
+        tag = jnp.where(valid, 2 + negative.astype(jnp.int32), 0)
+        tags = tags.at[lin, bp_rid].max(tag)
+
+    has = key != _KEY_INF
+    grid_rid = jnp.where(has, (key & 0xFF) - 1, -1)
+    # stored in world units like the reference (rigid_transfer.cpp:76-77)
+    grid_dist = jnp.where(has, (key >> 8).astype(jnp.float32) / _DIST_SCALE * cfg.dx, 0.0)
+    shifts = jnp.asarray([2 * r for r in range(num_rigids)], jnp.int32)
+    grid_states = jnp.sum(tags << shifts[None, :], axis=1).astype(jnp.int32)
+    return grid_dist, grid_rid, grid_states
+
+
+def gather_cdf(p_x, p_states, grid_dist, grid_rid, grid_states, num_rigids: int, cfg: SimConfig):
+    """Grid CDF -> particle affinity + boundary distance/normal.
+
+    Args:
+      p_x: (P, d) particle positions; p_states: (P,) int32 affinity.
+    Returns (states, bdist, bnormal, near_b): updated affinity, signed
+    boundary distance (world units), unit normal, near-boundary flag.
+    """
+    d = cfg.dim
+    nodes = cfg.grid_nodes
+    P = p_x.shape[0]
+    R = num_rigids
+    smask = state_mask(R)
+
+    pos = p_x * cfg.inv_dx
+    base, w, _ = bspline_weights(2, pos)  # cdf_kernel_order_gather = 2
+
+    offs = stencil_offsets(d, 2)
+
+    def node_data(off):
+        idx = base + jnp.asarray(off, jnp.int32)
+        inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
+        lin = jnp.where(inb, _ravel(idx, nodes), 0)
+        s = jnp.where(inb, grid_states[lin], 0)
+        dist = jnp.where(inb, grid_dist[lin], 0.0) * cfg.inv_dx  # grid units
+        wo = w[:, 0, off[0]]
+        for k in range(1, d):
+            wo = wo * w[:, k, off[k]]
+        dpos = pos - idx.astype(pos.dtype)
+        return s, dist, wo, dpos
+
+    # Pass 1: affinity update (rigid_transfer.cpp:156-207).
+    all_b = jnp.zeros((P,), jnp.int32)
+    rr = jnp.arange(R, dtype=jnp.int32)[None, :]
+    wd_pos = jnp.zeros((P, R), jnp.float32)
+    wd_neg = jnp.zeros((P, R), jnp.float32)
+    for off in offs:
+        s, dist, wo, _ = node_data(off)
+        all_b = all_b | (s & smask)
+        touch = ((s[:, None] >> (2 * rr + 1)) & 1).astype(jnp.float32)
+        neg = ((s[:, None] >> (2 * rr)) & 1).astype(jnp.float32)
+        wd = (wo * dist)[:, None] * touch
+        wd_pos = wd_pos + wd * (1.0 - neg)
+        wd_neg = wd_neg + wd * neg
+
+    # Drop affinity with rigids no longer near (:163-166).
+    states = p_states & (all_b | (all_b >> 1))
+    avail = ((all_b[:, None] >> (2 * rr + 1)) & 1) == 1
+    have = ((states[:, None] >> (2 * rr + 1)) & 1) == 1
+    add = avail & (~have) & ((wd_pos + wd_neg) > 1e-7)
+    neg_bit = (wd_pos < wd_neg).astype(jnp.int32)
+    new_tags = jnp.where(add, 2 + neg_bit, 0)
+    states = states | jnp.sum(new_tags << (2 * rr), axis=1).astype(jnp.int32)
+
+    # Pass 2: weighted MLS reconstruction (:209-260) with the final states.
+    XtX = jnp.zeros((P, d + 1, d + 1), jnp.float32)
+    XtY = jnp.zeros((P, d + 1), jnp.float32)
+    for off in offs:
+        s, dist, wo, dpos = node_data(off)
+        valid = s != 0
+        mask = (s & states & smask) >> 1
+        same = (s & mask) == (states & mask)
+        diff = (s ^ states) & mask
+        single_neg = (diff != 0) & ((diff & (diff - 1)) == 0)
+        use = valid & (same | single_neg)
+        sign = jnp.where(same, 1.0, -1.0)
+        wgt = jnp.where(use, wo, 0.0)
+        xp = jnp.concatenate([-dpos, jnp.ones((P, 1), dpos.dtype)], -1)
+        XtX = XtX + wgt[:, None, None] * xp[:, :, None] * xp[:, None, :]
+        y = jnp.concatenate([-dpos * dist[:, None], dist[:, None]], -1)
+        XtY = XtY + (wgt * sign)[:, None] * y
+
+    det = jnp.linalg.det(XtX)
+    ok = (jnp.abs(det) > _GUARD[d]) & (states != 0)
+    eye = jnp.eye(d + 1, dtype=jnp.float32)
+    XtX_safe = jnp.where(ok[:, None, None], XtX, eye)
+    r = jnp.linalg.solve(XtX_safe, XtY[..., None])[..., 0]
+    near_b = ok
+    bdist = jnp.where(ok, r[:, d] * cfg.dx, 0.0)
+    g = r[:, :d]
+    glen2 = jnp.sum(g * g, -1)
+    bnormal = jnp.where(
+        (ok & (glen2 > 1e-4))[:, None],
+        g / jnp.maximum(jnp.sqrt(glen2), 1e-30)[:, None],
+        0.0,
+    )
+    return states, bdist, bnormal, near_b
