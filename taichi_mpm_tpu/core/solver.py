@@ -74,6 +74,7 @@ class MPM:
         base_delta_t: float = 1e-4,
         frame_dt: float = 1e-2,
         gravity: Optional[Sequence[float]] = None,
+        capacity: Optional[int] = None,
         **cfg_kw,
     ):
         res = tuple(int(r) for r in res)
@@ -83,6 +84,7 @@ class MPM:
             res=res, dx=dx, base_dt=base_delta_t, gravity=tuple(gravity), **cfg_kw
         )
         self.frame_dt = frame_dt
+        self.capacity = capacity
         self.colliders: List = []
         self._pending: List[dict] = []
         self.particles: Optional[Particles] = None
@@ -120,6 +122,18 @@ class MPM:
             )
         if density is None:
             density = 400.0
+        if pos is None:
+            # texture-driven Poisson-disk seeding (mpm.cpp:204-266)
+            pos, ppc = self._sample_from_texture(
+                density_tex=mat_kw.pop("density_tex"),
+                pd=mat_kw.pop("pd", True),
+                pd_source=mat_kw.pop("pd_source", False),
+                pd_periodic=mat_kw.pop("pd_periodic", True),
+                delta_t=mat_kw.pop("delta_t", self.frame_dt),
+                velocity=vel,
+            )
+            if len(pos) == 0:
+                return 0
         pos = np.asarray(pos, np.float32)
         n, d = pos.shape
         assert d == self.cfg.dim
@@ -129,21 +143,104 @@ class MPM:
             v[:] = np.asarray(vel, np.float32)
         vol_ = float(vol) if vol is not None else self.cfg.dx**d / ppc
         mass_ = float(mass) if mass is not None else vol_ * density
-        self._pending.append(
-            dict(
-                x=pos,
-                v=v,
-                mat=np.full((n,), mat_id, np.int32),
-                params=np.broadcast_to(
-                    np.asarray(params, np.float32), (n, 8)
-                ).copy(),
-                aux=np.full((n,), aux0, np.float32),
-                mass=np.full((n,), mass_, np.float32),
-                vol=np.full((n,), vol_, np.float32),
-            )
+        batch = dict(
+            x=pos,
+            v=v,
+            mat=np.full((n,), mat_id, np.int32),
+            params=np.broadcast_to(
+                np.asarray(params, np.float32), (n, 8)
+            ).copy(),
+            aux=np.full((n,), aux0, np.float32),
+            mass=np.full((n,), mass_, np.float32),
+            vol=np.full((n,), vol_, np.float32),
         )
-        self._frame_jit = None
+        if self.particles is not None:
+            # post-finalize emission: fill free slots (sources; the
+            # reference's frame_update add_particles, mpm.cpp:214-231)
+            self._inject(batch)
+        else:
+            self._pending.append(batch)
+            self._frame_jit = None
         return n
+
+    def _sample_from_texture(self, density_tex, pd, pd_source, pd_periodic, delta_t, velocity):
+        """Poisson-disk or rejection sampling of a density texture."""
+        from taichi_mpm_tpu.sampling import poisson
+
+        d = self.cfg.dim
+        lo = np.zeros(d)
+        hi = np.asarray(self.cfg.res) * self.cfg.dx
+        dx = self.cfg.dx
+        if pd and pd_periodic:
+            if pd_source:
+                v = np.asarray(velocity if velocity is not None else np.zeros(d))
+                offset = v * float(self.t)
+                g = np.asarray(self.cfg.gravity)
+                adv = v * delta_t + 0.5 * g * (delta_t + self.cfg.base_dt) * delta_t
+                pos = poisson.sample_from_source(
+                    density_tex, lo, hi, dx, d, offset, adv
+                )
+            else:
+                pos = poisson.sample_from_periodic_data(density_tex, lo, hi, dx, d)
+        elif pd:
+            mn, mx, ppc = poisson._density_bbox(density_tex, lo, hi, dx, d)
+            if mn is None:
+                return np.zeros((0, d), np.float32), 1.0
+            r = poisson.min_distance_for_ppc(dx, ppc, d)
+            cand = poisson.bridson(mn, mx, r)
+            pos = cand[density_tex(cand) > 0]
+        else:
+            # rejection sampling at ppc per cell (mpm.cpp:252-264)
+            mn, mx, ppc = poisson._density_bbox(density_tex, lo, hi, dx, d)
+            if mn is None:
+                return np.zeros((0, d), np.float32), 1.0
+            rng = np.random.default_rng(0)
+            axes = [np.arange(0, self.cfg.res[k]) for k in range(d)]
+            cells = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, d)
+            m = int(np.ceil(ppc))
+            cand = (
+                np.repeat(cells, m, 0) + rng.random((len(cells) * m, d))
+            ) * dx
+            keep = rng.random(len(cand)) <= density_tex(cand) / max(ppc, 1e-30)
+            pos = cand[keep].astype(np.float32)
+        _, _, ppc = poisson._density_bbox(density_tex, lo, hi, dx, d)
+        return pos, max(ppc, 1e-30)
+
+    def _inject(self, batch: dict):
+        """Write a batch into inactive capacity slots (device-side)."""
+        p = self.particles
+        act = np.asarray(p.active)
+        free = np.where(~act)[0]
+        n = batch["x"].shape[0]
+        if n > len(free):
+            raise RuntimeError(
+                f"particle capacity exhausted: need {n}, have {len(free)} free "
+                f"slots; construct MPM(..., capacity=...) with headroom"
+            )
+        idx = jnp.asarray(free[:n])
+        d = self.cfg.dim
+        eye = np.broadcast_to(np.eye(d, dtype=np.float32), (n, d, d))
+        self.particles = dataclasses.replace(
+            p,
+            x=p.x.at[idx].set(batch["x"]),
+            v=p.v.at[idx].set(batch["v"]),
+            F=p.F.at[idx].set(eye),
+            C=p.C.at[idx].set(np.zeros((n, d, d), np.float32)),
+            mat=p.mat.at[idx].set(batch["mat"]),
+            params=p.params.at[idx].set(batch["params"]),
+            aux=p.aux.at[idx].set(batch["aux"]),
+            mass=p.mass.at[idx].set(batch["mass"]),
+            vol=p.vol.at[idx].set(batch["vol"]),
+            states=p.states.at[idx].set(0),
+            bdist=p.bdist.at[idx].set(0.0),
+            bnormal=p.bnormal.at[idx].set(np.zeros((n, d), np.float32)),
+            near_b=p.near_b.at[idx].set(False),
+            active=p.active.at[idx].set(True),
+        )
+        mats = set(self.cfg.active_materials) | set(np.unique(batch["mat"]).tolist())
+        if tuple(sorted(mats)) != self.cfg.active_materials:
+            self.cfg = self.cfg.with_materials(mats)
+            self._frame_jit = None
 
     def add_collider(self, collider):
         self.colliders.append(collider)
@@ -182,7 +279,7 @@ class MPM:
         }
         n = cat["x"].shape[0]
         d = self.cfg.dim
-        cap = capacity or n
+        cap = capacity or self.capacity or n
         p = empty_particles(cap, d)
         sl = slice(0, n)
         p = dataclasses.replace(
@@ -268,6 +365,31 @@ class MPM:
         if self.particles is None:
             self._finalize()
         return float(mechanical_energy(self.particles, self.cfg))
+
+    def visualize(self, path: str, verbose: bool = False):
+        """Dump active particles to a BGEO file (MPM::visualize,
+        visualize.cpp:17-99; verbose adds v/mass/boundary attributes)."""
+        from taichi_mpm_tpu.io.bgeo import write_bgeo
+
+        p = self.particles
+        act = np.asarray(p.active)
+        attrs = {}
+        if verbose:
+            attrs["v"] = np.asarray(p.v)[act]
+            attrs["mass"] = np.asarray(p.mass)[act]
+            attrs["boundary"] = np.asarray(p.near_b)[act].astype(np.float32)
+            attrs["distance"] = np.asarray(p.bdist)[act]
+        write_bgeo(path, np.asarray(p.x)[act], attrs)
+
+    def save(self, path: str):
+        from taichi_mpm_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self)
+
+    def load(self, path: str):
+        from taichi_mpm_tpu.io.checkpoint import load_checkpoint
+
+        load_checkpoint(path, self)
 
     def positions(self) -> np.ndarray:
         p = self.particles
