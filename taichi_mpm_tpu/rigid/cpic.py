@@ -215,9 +215,14 @@ def cpic_substep(p: Particles, bodies: RigidBodies, t, cfg: SimConfig, scene, dt
     """
     from taichi_mpm_tpu.core import transfer
     from taichi_mpm_tpu.rigid import articulation as artic
+    from taichi_mpm_tpu.rigid import collision as coll
     from taichi_mpm_tpu.rigid.body import advance
 
     R = bodies.num
+
+    if scene.collision is not None:
+        dirs = jnp.asarray(coll.icosphere_directions())
+        bodies = coll.rigidify(bodies, scene.hull_verts, scene.collision, dirs, dt)
 
     if scene.articulations:
         bodies = artic.articulate(bodies, scene.articulations, dt)
@@ -237,6 +242,13 @@ def cpic_substep(p: Particles, bodies: RigidBodies, t, cfg: SimConfig, scene, dt
 
     grid, J1, tau1 = p2g_cpic(p, bodies, grid_rid, grid_states, cfg, dt)
     bodies = apply_impulses(bodies, J1, tau1)
+
+    # rigid vs domain level set (between normalize and grid BCs in the
+    # reference substep, mpm.cpp:452-575)
+    if scene.colliders:
+        bodies = coll.rigid_levelset_collision(
+            bodies, xb, scene.bp_rid, scene.colliders, t, dt
+        )
 
     grid_v, _ = transfer.grid_update(grid, cfg, scene.colliders, t, dt)
 

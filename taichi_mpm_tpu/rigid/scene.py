@@ -20,7 +20,9 @@ from taichi_mpm_tpu.utils import pytree_dataclass
 MAX_RIGIDS = 12  # int32 tag bits, 2 per rigid (mpm_fwd.h:77-84)
 
 
-@pytree_dataclass(meta_fields=("pos_funcs", "rot_funcs", "articulations", "colliders"))
+@pytree_dataclass(
+    meta_fields=("pos_funcs", "rot_funcs", "articulations", "colliders", "collision")
+)
 class CPICScene:
     """Static CPIC data: boundary particles (body frame) + scene meta."""
 
@@ -28,10 +30,12 @@ class CPICScene:
     bp_normal: object  # (B, d) body-frame normals
     bp_elem: object  # (B, d, d) body-frame element vertices
     bp_rid: object  # (B,) int32
+    hull_verts: object  # (R, V, d) body-frame hull vertices per rigid
     pos_funcs: Tuple[Optional[Callable], ...] = ()
     rot_funcs: Tuple[Optional[Callable], ...] = ()
     articulations: Tuple = ()
     colliders: Tuple = ()
+    collision: object = None  # CollisionConfig | None
 
 
 class RigidSceneBuilder:
@@ -41,9 +45,11 @@ class RigidSceneBuilder:
     reference, mpm.cpp:72-74) so articulations can link to the world.
     """
 
-    def __init__(self, dim: int, dx: float):
+    def __init__(self, dim: int, dx: float, rigid_collision: bool = True, rigid_penalty: float = 1e3):
         self.dim = dim
         self.dx = dx
+        self.rigid_collision = rigid_collision
+        self.rigid_penalty = rigid_penalty
         self.bodies = []
         self.bp = []
         self.pos_funcs = [None]
@@ -242,14 +248,45 @@ class RigidSceneBuilder:
             ),
         )
         assert self.bp, "no rigid bodies with boundary particles"
+
+        # rigid-rigid collision setup (3D only, like the reference:
+        # RigidSolver<2>::detect is TC_NOT_IMPLEMENTED)
+        from taichi_mpm_tpu.rigid.collision import (
+            CollisionConfig,
+            hull_vertices,
+        )
+
+        scripted = tuple(
+            self.pos_funcs[i] is not None and self.rot_funcs[i] is not None
+            for i in range(self.num)
+        )
+        pairs = []
+        if self.dim == 3 and self.rigid_collision:
+            for i in range(1, self.num):
+                for j in range(i + 1, self.num):
+                    if scripted[i] and scripted[j]:
+                        continue
+                    pairs.append((i, j))
+        collision = (
+            CollisionConfig(pairs=tuple(pairs), penalty=self.rigid_penalty)
+            if pairs
+            else None
+        )
+        elems_per_rigid = [np.zeros((1, self.dim, self.dim), np.float32)] + [
+            b["elem"] for b in self.bp
+        ]
+        hulls = hull_vertices(elems_per_rigid, self.dim)
+
         scene = CPICScene(
             bp_offset=jnp.asarray(np.concatenate([b["offset"] for b in self.bp])),
             bp_normal=jnp.asarray(np.concatenate([b["normal"] for b in self.bp])),
             bp_elem=jnp.asarray(np.concatenate([b["elem"] for b in self.bp])),
             bp_rid=jnp.asarray(np.concatenate([b["rid"] for b in self.bp])),
+            hull_verts=jnp.asarray(hulls),
             pos_funcs=tuple(self.pos_funcs),
             rot_funcs=tuple(self.rot_funcs),
             articulations=tuple(self.articulations),
             colliders=tuple(colliders),
+            collision=collision,
         )
         return bodies, scene

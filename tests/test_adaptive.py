@@ -1,0 +1,66 @@
+"""Adaptive time stepping (AsyncMPM redesign) tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from taichi_mpm_tpu.core.adaptive import AsyncMPM, dt_limit, snap_pot
+from taichi_mpm_tpu.core.solver import MPM
+
+
+def _block(res=64):
+    return np.stack(
+        np.meshgrid(np.linspace(0.4, 0.6, 8), np.linspace(0.6, 0.8, 8)), -1
+    ).reshape(-1, 2)
+
+
+class TestDtLimit:
+    def test_snap_pot(self):
+        assert float(snap_pot(jnp.float32(3e-4), 1e-6, 1e-3)) == np.float32(1e-6 * 256)
+        assert float(snap_pot(jnp.float32(1e-9), 1e-6, 1e-3)) == np.float32(1e-6)
+        assert float(snap_pot(jnp.float32(1.0), 1e-6, 1e-3)) == np.float32(1e-3)
+
+    def test_stiffer_material_smaller_dt(self):
+        # NOTE: jelly/linear are unconstrained by design (reference
+        # get_allowed_dt returns 0 = no limit, particles.cpp:418-420);
+        # elastic (StVK-Hencky) carries the sound-speed CFL limit.
+        a = MPM(res=(64, 64))
+        a.add_particles("elastic", pos=_block(), E=1e4, nu=0.3)
+        a._finalize()
+        b = MPM(res=(64, 64))
+        b.add_particles("elastic", pos=_block(), E=1e6, nu=0.3)
+        b._finalize()
+        da = float(dt_limit(a.particles, a.cfg))
+        db = float(dt_limit(b.particles, b.cfg))
+        assert db < da  # 100x stiffer -> ~10x smaller allowed dt
+        assert db < da / 5
+
+    def test_velocity_shrinks_dt(self):
+        a = MPM(res=(64, 64))
+        a.add_particles("jelly", pos=_block(), E=1e4, nu=0.3)
+        a._finalize()
+        b = MPM(res=(64, 64))
+        b.add_particles("jelly", pos=_block(), vel=(0, -50.0), E=1e4, nu=0.3)
+        b._finalize()
+        assert float(dt_limit(b.particles, b.cfg)) < float(dt_limit(a.particles, a.cfg))
+
+
+class TestAsyncMPM:
+    def test_matches_fixed_fine_dt(self):
+        pos = _block()
+        sim = AsyncMPM(res=(64, 64), base_delta_t=1e-3, frame_dt=5e-3, unit_delta_t=1e-6)
+        sim.add_particles("jelly", pos=pos, E=5e4, nu=0.3)
+        for _ in range(6):
+            sim.step()
+        ref = MPM(res=(64, 64), base_delta_t=2e-5, frame_dt=5e-3)
+        ref.add_particles("jelly", pos=pos, E=5e4, nu=0.3)
+        for _ in range(6):
+            ref.step()
+        assert np.abs(sim.positions() - ref.positions()).max() < 2e-3
+        # adaptive should take far fewer substeps than the fine-dt run
+        assert sim.last_substeps < 5e-3 / 2e-5
+
+    def test_update_counter_accumulates(self):
+        sim = AsyncMPM(res=(64, 64), base_delta_t=1e-3, frame_dt=2e-3)
+        sim.add_particles("jelly", pos=_block(), E=5e4, nu=0.3)
+        sim.step()
+        assert sim.update_counter == sim.last_substeps * 64
