@@ -62,7 +62,7 @@ def build_sharded_frame(
     cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh, axis: str = "shard"
 ):
     """Jitted multi-device frame function over `mesh`."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     pspec = P(axis)
     replicated = P()
@@ -87,6 +87,6 @@ def build_sharded_frame(
         mesh=mesh,
         in_specs=(p_specs, replicated),
         out_specs=(p_specs, replicated),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
