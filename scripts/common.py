@@ -1,0 +1,63 @@
+"""Shared runner for the scene scripts (the analog of the reference's
+tc.dynamics.MPM python driver, scripts/async/async_mpm.py:18-300):
+frame loop, per-frame BGEO output, snapshots, --continue restarts,
+profile printing."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(**defaults):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=defaults.get("frames", 60))
+    ap.add_argument("--res", type=int, default=defaults.get("res", 0))
+    ap.add_argument("--out", type=str, default=defaults.get("out", ""))
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--snapshot-interval", type=int, default=0)
+    ap.add_argument("--continue", dest="cont", type=int, default=-1,
+                    help="resume from snapshot at this frame")
+    ap.add_argument("--verbose-bgeo", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args
+
+
+def simulate(sim, args, frame_update=None, print_energy=False):
+    """Frame loop with output/snapshots (reference simulate(),
+    scripts/async/async_mpm.py:224-256)."""
+    import numpy as np
+
+    out = args.out or None
+    if out:
+        os.makedirs(out, exist_ok=True)
+    start = 0
+    if args.cont >= 0 and out:
+        sim.load(os.path.join(out, f"snapshot_{args.cont:05d}.npz"))
+        start = args.cont + 1
+    for f in range(start, args.frames):
+        if frame_update is not None:
+            frame_update(sim, f)
+        t0 = time.perf_counter()
+        sim.step()
+        wall = time.perf_counter() - t0
+        n = int(np.asarray(sim.particles.active).sum())
+        msg = f"frame {f:05d}  t={float(sim.t):.4f}  particles={n}  wall={wall*1e3:.0f}ms"
+        if print_energy:
+            msg += f"  E={sim.energy():.5f}"
+        print(msg, flush=True)
+        if out:
+            sim.visualize(
+                os.path.join(out, f"{f:05d}.bgeo"), verbose=args.verbose_bgeo
+            )
+            if args.snapshot_interval and f % args.snapshot_interval == 0:
+                sim.save(os.path.join(out, f"snapshot_{f:05d}.npz"))
+    return sim

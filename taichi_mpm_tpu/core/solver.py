@@ -75,8 +75,12 @@ class MPM:
         frame_dt: float = 1e-2,
         gravity: Optional[Sequence[float]] = None,
         capacity: Optional[int] = None,
+        optimized: Optional[bool] = None,
         **cfg_kw,
     ):
+        """optimized: use the blocked Pallas transfer path (the analog of
+        the reference's optimized=true SIMD pipeline, README.md:247).
+        None = auto: on for 3D scenes without rigid bodies on TPU."""
         res = tuple(int(r) for r in res)
         if gravity is None:
             gravity = (0.0, -10.0, 0.0)[: len(res)] if len(res) == 3 else (0.0, -10.0)
@@ -85,6 +89,7 @@ class MPM:
         )
         self.frame_dt = frame_dt
         self.capacity = capacity
+        self.optimized = optimized
         self.colliders: List = []
         self._pending: List[dict] = []
         self.particles: Optional[Particles] = None
@@ -324,6 +329,22 @@ class MPM:
                     body, (p, bodies, t), None, length=n_substeps
                 )
                 return p, bodies, t
+
+            return jax.jit(fn)
+
+        use_blocked = self.optimized
+        if use_blocked is None:
+            use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
+        if use_blocked and cfg.dim == 3:
+            from taichi_mpm_tpu.ops.substep import blocked_substep
+
+            def fn(p, t):
+                def body(carry, _):
+                    pp, tt = carry
+                    return blocked_substep(pp, tt, cfg, colliders, cfg.base_dt), None
+
+                (p, t), _ = jax.lax.scan(body, (p, t), None, length=n_substeps)
+                return p, t
 
             return jax.jit(fn)
 

@@ -125,6 +125,21 @@ def cylinder_mesh(radius=0.5, half_height=0.5, n=24, capped=True, axis=2):
     return tris
 
 
+def paddle_wheel_mesh(n_paddles=6, inner=0.05, outer=0.16, half_w=0.05) -> np.ndarray:
+    """3D paddle wheel about the z axis: n thin radial plates, one mesh
+    so the center of mass sits on the axle (the shape of the reference's
+    ww_gears/ww_spoke water-wheel assets)."""
+    tris = []
+    for k in range(n_paddles):
+        a = 2 * math.pi * k / n_paddles
+        plate = plate_mesh(half_u=(outer - inner) / 2, half_v=half_w, axis=1)
+        plate = plate + np.array([(inner + outer) / 2, 0, 0], np.float32)
+        c, s = math.cos(a), math.sin(a)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        tris.append(plate @ R.T)
+    return np.concatenate(tris)
+
+
 def plate_mesh(half_u=0.5, half_v=0.5, axis=2) -> np.ndarray:
     """A flat rectangular thin shell (2 triangles) with normal on `axis`.
 

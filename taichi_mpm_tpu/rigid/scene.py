@@ -106,6 +106,7 @@ class RigidSceneBuilder:
         rotation_axis=None,
         linear_damping: float = 0.0,
         angular_damping: float = 0.0,
+        recenter: bool = True,
         t0: float = 0.0,
     ) -> int:
         """Returns the rigid id (>= 1). Mirrors create_rigid_body +
@@ -123,7 +124,12 @@ class RigidSceneBuilder:
             density = 40.0 if codimensional else 400.0
 
         mass, com, inertia = meshlib.mass_properties(elem, density, codimensional)
-        elem = elem - com  # recenter: mesh frame = centroid frame
+        if not recenter:
+            # keep the mesh frame (requires scripted motion; the body
+            # rotates about the mesh origin, mpm_rigid_body.cpp:192-195)
+            assert scripted_position is not None, "recenter=False needs scripting"
+            com = np.zeros_like(com)
+        elem = elem - com  # mesh frame = centroid frame
 
         # initial transforms
         if scripted_position is not None:

@@ -1,0 +1,71 @@
+"""Scene-script smoke tests: the de-facto integration suite (reference
+scripts are validated by running, SURVEY.md §2.7). Each script is run
+for a few frames in a subprocess on small resolution; pass = finite
+state, expected particle behavior, nonzero output."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    PYTHONPATH=REPO,
+    XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
+)
+
+
+def run_script(rel, extra=(), timeout=480):
+    cmd = [sys.executable, os.path.join(REPO, rel), "--cpu", *extra]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=ENV, cwd=REPO
+    )
+    assert res.returncode == 0, f"{rel} failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
+    return res.stdout
+
+
+class TestScripts:
+    def test_sand_wheel_2d(self, tmp_path):
+        out = run_script(
+            "scripts/mls-cpic/sand_wheel_2D.py",
+            ["--frames", "3", "--res", "48", "--out", str(tmp_path)],
+        )
+        assert "frame 00002" in out
+        assert len(list(tmp_path.glob("*.bgeo"))) == 3
+
+    def test_colliding_balls_energy(self):
+        out = run_script(
+            "scripts/benchmark/colliding_balls_energy.py",
+            ["--frames", "3", "--res", "32"],
+        )
+        assert "E=" in out
+
+    def test_async_water(self):
+        out = run_script("scripts/async/water.py", ["--frames", "3", "--res", "32"])
+        assert "total particle updates:" in out
+
+    def test_mls_mpm88_demo(self):
+        cmd = [sys.executable, os.path.join(REPO, "demos/mls_mpm88.py")]
+        src = open(os.path.join(REPO, "demos/mls_mpm88.py")).read()
+        src = src.replace("range(40)", "range(4)")
+        res = subprocess.run(
+            [sys.executable, "-c", src], capture_output=True, text=True,
+            timeout=480, env=ENV, cwd=REPO,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "frame 003" in res.stdout
+
+    def test_tetris_demo(self, tmp_path):
+        src = open(os.path.join(REPO, "demos/tetris.py")).read()
+        src = src.replace("range(60)", "range(3)")
+        path = tmp_path / "tetris_short.py"
+        path.write_text(src)
+        res = subprocess.run(
+            [sys.executable, str(path)], capture_output=True, text=True,
+            timeout=480, env=ENV, cwd=REPO,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "frame 002" in res.stdout
