@@ -37,6 +37,14 @@ class SimConfig:
     # Position clamp epsilon (transfer.cpp:667-670).
     clamp_eps: float = 1e-4
 
+    # Per-particle levelset projection after G2P
+    # (particle_collision_resolution, mpm.cpp:414-427).
+    particle_collision: bool = False
+    # Deactivate particles within 7 cells of the domain boundary each
+    # substep (clear_boundary_particles + near_boundary, mpm.cpp:582-633,
+    # mpm.h:269-276).
+    clean_boundary: bool = False
+
     # Rigid-body coupling (CPIC) — compiled in only when the scene has rigids.
     num_rigids: int = 0
     coupling_iterations: int = 1

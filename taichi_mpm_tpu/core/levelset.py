@@ -54,12 +54,16 @@ class Collider:
     sdf: Callable
     friction: float = 0.0
     velocity: Optional[Callable] = None
+    # False => the SDF/velocity ignore t, so node fields can be computed
+    # once per frame instead of per substep (a DynamicLevelSet that
+    # actually moves sets True; mpm.cpp:296-372 samples per substep).
+    time_varying: bool = False
     # Nodes with sdf in (band_lo*dx, band_hi*dx] get projected; mirrors the
     # reference's `phi < -3 || 0 < phi -> skip` (mpm.cpp:322-325, grid units).
     band_lo: float = -3.0
     band_hi: float = 0.0
 
-    def normal(self, x, t, eps):
+    def normal(self, x, t, eps):  # noqa: D102  (see class docstring)
         """Central-difference SDF gradient, normalized."""
         d = x.shape[-1]
         grads = []
@@ -135,3 +139,32 @@ def cylinder(center, axis: int, radius, friction=0.0, velocity=None) -> Collider
 
 def union(*colliders_same_friction) -> Tuple[Collider, ...]:
     return tuple(colliders_same_friction)
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet regions (apply_dirichlet_boundary_conditions, mpm.cpp:374-412)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DirichletRegion:
+    """Pins grid velocity to `velocity` wherever mask(x, t) is True —
+    the cleaned-up analog of the reference's hardcoded Dirichlet bands
+    (mpm.cpp:374-412: slabs near the left/right walls / y > 0.525)."""
+
+    mask: Callable  # (x (..., d), t) -> bool (...)
+    velocity: Tuple[float, ...] = ()
+
+    def apply(self, v, x, t):
+        vel = jnp.asarray(
+            self.velocity if self.velocity else (0.0,) * v.shape[-1],
+            v.dtype,
+        )
+        return jnp.where(self.mask(x, t)[..., None], vel, v)
+
+
+def dirichlet_slab(axis: int, lo: float, hi: float, velocity=()) -> DirichletRegion:
+    return DirichletRegion(
+        mask=lambda x, t: (x[..., axis] >= lo) & (x[..., axis] < hi),
+        velocity=tuple(velocity),
+    )

@@ -32,7 +32,21 @@ def substep(p: Particles, t, cfg: SimConfig, colliders, dt):
     grid = transfer.p2g(p, cfg, dt)
     grid_v, _ = transfer.grid_update(grid, cfg, colliders, t, dt)
     p = transfer.g2p(p, grid_v, cfg, dt)
+    if cfg.particle_collision:
+        p = transfer.particle_collision_resolution(p, cfg, colliders, t)
+    if cfg.clean_boundary:
+        p = clear_boundary_particles(p, cfg)
     return p, t + dt
+
+
+def clear_boundary_particles(p: Particles, cfg: SimConfig) -> Particles:
+    """Deactivate particles within 7 cells of the domain edge (the
+    reference deletes them; near_boundary, mpm.h:269-276). NaN deletion
+    is already in g2p_finish."""
+    pos = p.x * cfg.inv_dx
+    res = jnp.asarray(cfg.res, jnp.float32)
+    near = (jnp.min(pos, -1) < 7.0) | (jnp.max(pos - res, -1) > -7.0)
+    return dataclasses.replace(p, active=p.active & ~near)
 
 
 def frame_fn(p: Particles, t, cfg: SimConfig, colliders, dt, n_substeps: int):
@@ -313,6 +327,7 @@ class MPM:
     def _build_jit(self, n_substeps: int):
         cfg = self.cfg
         colliders = tuple(self.colliders)
+        self._blocked_cap = None
 
         if self.bodies is not None:
             from taichi_mpm_tpu.rigid.cpic import cpic_substep
@@ -336,20 +351,55 @@ class MPM:
         if use_blocked is None:
             use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
         if use_blocked and cfg.dim == 3:
-            from taichi_mpm_tpu.ops.substep import blocked_substep
-
-            def fn(p, t):
-                def body(carry, _):
-                    pp, tt = carry
-                    return blocked_substep(pp, tt, cfg, colliders, cfg.base_dt), None
-
-                (p, t), _ = jax.lax.scan(body, (p, t), None, length=n_substeps)
-                return p, t
-
-            return jax.jit(fn)
+            return self._build_blocked_jit(n_substeps, self._active_block_cap())
 
         def fn(p, t):
             return frame_fn(p, t, cfg, colliders, cfg.base_dt, n_substeps)
+
+        return jax.jit(fn)
+
+    def _active_block_cap(self) -> int:
+        """Static active-block (page-map) capacity: 1.5x the current
+        *dilated* occupancy (occupied + 27-neighborhood halo blocks),
+        rounded up; grows by re-jit on overflow (MPM.step)."""
+        from taichi_mpm_tpu.ops.blocked import (
+            BLOCK,
+            num_blocks_padded,
+            total_blocks_padded,
+        )
+
+        nbp = num_blocks_padded(self.cfg)
+        nbt = total_blocks_padded(self.cfg)
+        x = np.asarray(self.particles.x)[np.asarray(self.particles.active)]
+        cell = np.clip((x / self.cfg.dx).astype(np.int64), 0,
+                       np.asarray(self.cfg.res) - 1)
+        b = np.unique(cell // BLOCK, axis=0)
+        # dilate by the 27-neighborhood, clipped to the padded range
+        offs = np.stack(np.meshgrid(*([[-1, 0, 1]] * 3), indexing="ij"), -1).reshape(-1, 3)
+        dil = (b[:, None, :] + offs[None]).reshape(-1, 3)
+        keep = np.all((dil >= 0) & (dil < np.asarray(nbp)), axis=1)
+        dil = np.unique(dil[keep], axis=0)
+        occ = len(dil)
+        return int(min(nbt, -(-max(64, int(1.5 * occ)) // 64) * 64))
+
+    def _build_blocked_jit(self, n_substeps: int, cap: int):
+        cfg = self.cfg
+        colliders = tuple(self.colliders)
+        from taichi_mpm_tpu.ops.substep import blocked_substep
+
+        self._blocked_cap = cap
+
+        def fn(p, t):
+            def body(carry, _):
+                pp, tt = carry
+                (pp, tt), n_act = blocked_substep(
+                    pp, tt, cfg, colliders, cfg.base_dt,
+                    max_active_blocks=cap,
+                )
+                return (pp, tt), n_act
+
+            (p, t), n_acts = jax.lax.scan(body, (p, t), None, length=n_substeps)
+            return p, t, jnp.max(n_acts)
 
         return jax.jit(fn)
 
@@ -369,6 +419,24 @@ class MPM:
             self.particles, self.bodies, self.t = self._frame_jit(
                 self.particles, self.bodies, self.t
             )
+        elif getattr(self, "_blocked_cap", None):
+            # blocked path: frame returns peak active-block occupancy;
+            # on page-map overflow re-jit with a larger capacity and
+            # re-run the frame from the (unmodified) pre-frame state.
+            while True:
+                p2, t2, n_act = self._frame_jit(self.particles, self.t)
+                n_act = int(n_act)
+                from taichi_mpm_tpu.ops.blocked import num_blocks
+
+                nb = num_blocks(self.cfg)
+                nbt = nb[0] * nb[1] * nb[2]
+                if n_act <= self._blocked_cap or self._blocked_cap >= nbt:
+                    self.particles, self.t = p2, t2
+                    break
+                cap = int(min(nbt, -(-2 * n_act // 64) * 64))
+                self._frame_jit = self._build_blocked_jit(
+                    self._frame_substeps, cap
+                )
         else:
             self.particles, self.t = self._frame_jit(self.particles, self.t)
         return self.particles

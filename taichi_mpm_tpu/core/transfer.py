@@ -29,7 +29,7 @@ from taichi_mpm_tpu.config import SimConfig
 from taichi_mpm_tpu.core.state import Particles
 from taichi_mpm_tpu.materials import models as materials
 from taichi_mpm_tpu.math.kernels import bspline_weights, inv_D
-from taichi_mpm_tpu.utils import outer
+from taichi_mpm_tpu.utils import outer, mv as mv_small
 
 
 def stencil_offsets(dim: int, order: int):
@@ -93,7 +93,7 @@ def p2g(p: Particles, cfg: SimConfig, dt) -> jnp.ndarray:
         idx = base + jnp.asarray(off, jnp.int32)
         dpos = pos - idx.astype(pos.dtype)
         wo = _offset_weight(w, off) * p.active
-        mom = mv + jnp.einsum("pij,pj->pi", affine, dpos)
+        mom = mv + mv_small(affine, dpos)
         val = jnp.concatenate([mom, mass[:, None]], -1) * wo[:, None]
         inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
         lin = jnp.where(inb, _ravel(idx, nodes), 0)
@@ -109,7 +109,7 @@ def grid_update(grid, cfg: SimConfig, colliders, t, dt):
     apply_grid_boundary_conditions (mpm.cpp:296-372). Returns node
     velocities, shape nodes + (d,), plus the mass channel untouched.
     """
-    from taichi_mpm_tpu.core.levelset import friction_project
+    from taichi_mpm_tpu.core.levelset import DirichletRegion, friction_project
 
     d = cfg.dim
     mass = grid[..., d]
@@ -129,6 +129,10 @@ def grid_update(grid, cfg: SimConfig, colliders, t, dt):
         mesh = jnp.meshgrid(*axes, indexing="ij")
         xg = jnp.stack(mesh, -1)
         for c in colliders:
+            if isinstance(c, DirichletRegion):
+                # pinned-velocity region (mpm.cpp:374-412)
+                v = c.apply(v, xg, t)
+                continue
             phi = c.sdf(xg, t)
             band = (phi > c.band_lo * cfg.dx) & (phi <= c.band_hi * cfg.dx)
             n = c.normal(xg, t, eps=0.5 * cfg.dx)
@@ -137,6 +141,27 @@ def grid_update(grid, cfg: SimConfig, colliders, t, dt):
             v = jnp.where((band & has_mass)[..., None], v_proj, v)
 
     return v, mass
+
+
+def particle_collision_resolution(p: Particles, cfg: SimConfig, colliders, t) -> Particles:
+    """Per-particle levelset projection: push penetrating particles to
+    the surface and remove their normal velocity
+    (MPM::particle_collision_resolution, mpm.cpp:414-427)."""
+    import dataclasses
+
+    from taichi_mpm_tpu.core.levelset import DirichletRegion
+
+    x, v = p.x, p.v
+    for c in colliders:
+        if isinstance(c, DirichletRegion):
+            continue
+        phi = c.sdf(x, t)
+        grad = c.normal(x, t, eps=0.5 * cfg.dx)
+        hit = p.active & (phi < 0.0)
+        x = jnp.where(hit[:, None], x - grad * phi[:, None], x)
+        vn = jnp.sum(grad * v, -1, keepdims=True)
+        v = jnp.where(hit[:, None], v - vn * grad, v)
+    return dataclasses.replace(p, x=x, v=v)
 
 
 def g2p(p: Particles, grid_v, cfg: SimConfig, dt) -> Particles:

@@ -35,7 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from taichi_mpm_tpu.math.svd import polar_decomp, svd
+from taichi_mpm_tpu.math.svd import polar_decomp, polar_newton, svd
 
 # Material ids (stable ABI for checkpoints).
 ELASTIC = 0
@@ -63,7 +63,23 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=_HI)
+    """Batched small (2x2/3x3) matmul, unrolled to elementwise VPU ops —
+    a batched tiny dot_general pads each 3x3 onto the MXU and is ~100x
+    slower on TPU for per-particle matrices."""
+    d = a.shape[-1]
+    if d > 4:
+        return jnp.matmul(a, b, precision=_HI)
+    rows = [
+        jnp.stack(
+            [
+                sum(a[..., i, k] * b[..., k, j] for k in range(d))
+                for j in range(d)
+            ],
+            -1,
+        )
+        for i in range(d)
+    ]
+    return jnp.stack(rows, -2)
 
 
 def _mt(a):
@@ -71,6 +87,16 @@ def _mt(a):
 
 
 def _det(F):
+    """Closed-form 2x2/3x3 determinant (jnp.linalg.det LU-decomposes)."""
+    d = F.shape[-1]
+    if d == 2:
+        return F[..., 0, 0] * F[..., 1, 1] - F[..., 0, 1] * F[..., 1, 0]
+    if d == 3:
+        return (
+            F[..., 0, 0] * (F[..., 1, 1] * F[..., 2, 2] - F[..., 1, 2] * F[..., 2, 1])
+            - F[..., 0, 1] * (F[..., 1, 0] * F[..., 2, 2] - F[..., 1, 2] * F[..., 2, 0])
+            + F[..., 0, 2] * (F[..., 1, 0] * F[..., 2, 1] - F[..., 1, 1] * F[..., 2, 0])
+        )
     return jnp.linalg.det(F)
 
 
@@ -169,7 +195,7 @@ def _pft_fixed_corotated(F, mu, lam):
     against F^T so no inverse is needed.)
     """
     J = _det(F)
-    R, _ = polar_decomp(F)
+    R = polar_newton(F)
     I = _eye_like(F)
     return (
         2.0 * mu[..., None, None] * _mm(F - R, _mt(F))
@@ -370,7 +396,7 @@ def _visco_pk1_norm(F, mu, lam):
     """Frobenius norm of the fixed-corotated first PK stress
     (particles.cpp:72-80,108)."""
     J = _det(F)
-    R, _ = polar_decomp(F)
+    R = polar_newton(F)
     FinvT = _mt(_inverse_small(F))
     P = 2.0 * mu[..., None, None] * (F - R) + (lam * (J - 1.0) * J)[
         ..., None, None

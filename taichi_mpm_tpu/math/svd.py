@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from taichi_mpm_tpu.utils import mm
+
 _EPS = 1e-20
 
 
@@ -109,7 +111,7 @@ def _symmetric_eig3(A, sweeps: int = 6):
 def svd3x3(F, sweeps: int = 6):
     """Rotation-variant SVD of batched 3x3 matrices. See module docstring."""
     FT = jnp.swapaxes(F, -1, -2)
-    A = jnp.matmul(FT, F, precision=jax.lax.Precision.HIGHEST)
+    A = mm(FT, F)
     eig, V = _symmetric_eig3(A, sweeps=sweeps)
 
     # Sort eigenvalues descending; permute V columns to match.
@@ -122,7 +124,7 @@ def svd3x3(F, sweeps: int = 6):
     V = V.at[..., :, 2].multiply(jnp.where(detV < 0, -1.0, 1.0)[..., None])
 
     # U via Gram-Schmidt on F @ V with degenerate fallbacks.
-    B = jnp.matmul(F, V, precision=jax.lax.Precision.HIGHEST)
+    B = mm(F, V)
     b0 = B[..., :, 0]
     b1 = B[..., :, 1]
     u0, n0 = _normalize(b0)
@@ -159,7 +161,7 @@ def svd3x3(F, sweeps: int = 6):
 def svd2x2(F):
     """Rotation-variant SVD of batched 2x2 matrices (closed form)."""
     FT = jnp.swapaxes(F, -1, -2)
-    A = jnp.matmul(FT, F, precision=jax.lax.Precision.HIGHEST)
+    A = mm(FT, F)
     a, b, d = A[..., 0, 0], A[..., 0, 1], A[..., 1, 1]
     # Eigen of symmetric 2x2.
     tr = a + d
@@ -177,7 +179,7 @@ def svd2x2(F):
     v1 = jnp.stack([-v0n[..., 1], v0n[..., 0]], axis=-1)
     V = jnp.stack([v0n, v1], axis=-1)
 
-    B = jnp.matmul(F, V, precision=jax.lax.Precision.HIGHEST)
+    B = mm(F, V)
     u0, n0 = _normalize(B[..., :, 0])
     eu = jnp.zeros_like(u0).at[..., 0].set(1.0)
     u0 = jnp.where((n0 > 1e-12)[..., None], u0, eu)
@@ -204,3 +206,58 @@ def polar_decomp(F, sweeps: int = 6):
     R = jnp.matmul(U, VT, precision=jax.lax.Precision.HIGHEST)
     S = jnp.matmul(V, sigma[..., :, None] * VT, precision=jax.lax.Precision.HIGHEST)
     return R, S
+
+
+def _inv_transpose(F):
+    """Closed-form batched inverse-transpose of 2x2/3x3 (adjugate/det),
+    fully unrolled elementwise."""
+    d = F.shape[-1]
+    if d == 2:
+        det = F[..., 0, 0] * F[..., 1, 1] - F[..., 0, 1] * F[..., 1, 0]
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        row0 = jnp.stack([F[..., 1, 1], -F[..., 1, 0]], -1)
+        row1 = jnp.stack([-F[..., 0, 1], F[..., 0, 0]], -1)
+        return jnp.stack([row0, row1], -2) * inv_det[..., None, None]
+    a, b, c = F[..., 0, 0], F[..., 0, 1], F[..., 0, 2]
+    d_, e, f = F[..., 1, 0], F[..., 1, 1], F[..., 1, 2]
+    g, h, i = F[..., 2, 0], F[..., 2, 1], F[..., 2, 2]
+    A = e * i - f * h
+    B = f * g - d_ * i
+    C = d_ * h - e * g
+    D = c * h - b * i
+    E = a * i - c * g
+    Fc = b * g - a * h
+    G = b * f - c * e
+    H = c * d_ - a * f
+    I = a * e - b * d_
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    # inverse = adj^T/det; inverse-transpose = adj/det (adj as laid out here)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], -1),
+            jnp.stack([D, E, Fc], -1),
+            jnp.stack([G, H, I], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def polar_newton(F, iters: int = 6):
+    """Rotation factor of F by scaled Newton iteration
+    X <- (g X + X^{-T}/g)/2 — a handful of unrolled elementwise ops per
+    step, far cheaper than the full Jacobi SVD when only R is needed
+    (the corotated force path runs this per particle per substep).
+    Quadratically convergent; the determinant-based scaling g gives
+    fast convergence even for large stretches (Higham 1986)."""
+    X = F
+    for _ in range(iters):
+        Xit = _inv_transpose(X)
+        # scaling factor from determinants: g = |det(X)|^(-1/3)... use
+        # Frobenius-norm scaling which is cheap and robust
+        nx = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1), keepdims=True))
+        ni = jnp.sqrt(jnp.sum(Xit * Xit, axis=(-2, -1), keepdims=True))
+        g = jnp.sqrt(jnp.maximum(ni, 1e-20) / jnp.maximum(nx, 1e-20))
+        X = 0.5 * (g * X + Xit / g)
+    return X

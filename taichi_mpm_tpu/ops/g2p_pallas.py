@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from taichi_mpm_tpu.ops.blocked import BLOCK, TILE
+from taichi_mpm_tpu.ops.blocked import TILE
 from taichi_mpm_tpu.ops.p2g_pallas import (
     CHUNK,
     NJK,
@@ -42,12 +42,10 @@ NOUTP = 16  # output rows per particle: v(3) B(9) pad(4)
 
 
 def _g2p_kernel(dims_ref, keys_ref, posg_ref, gt_hbm, out_ref, tbuf, sem_t):
-    nbt = dims_ref[0]
-    nby = dims_ref[1]
-    nbz = dims_ref[2]
+    K = dims_ref[0]  # sentinel slot id = number of active slots
 
-    kb2 = keys_ref[:]  # (1, CHUNK) int32 block ids, sorted; NBtot = inactive
-    pos = posg_ref[:]  # (8, CHUNK) rows: global grid-unit x, y, z
+    kb2 = keys_ref[:]  # (1, CHUNK) int32 active-slot ids, sorted; K = inactive
+    pos = posg_ref[:]  # (8, CHUNK) rows: block-local grid-unit x, y, z
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     lane49 = jax.lax.broadcasted_iota(jnp.int32, (1, NJK), 1)
@@ -60,22 +58,18 @@ def _g2p_kernel(dims_ref, keys_ref, posg_ref, gt_hbm, out_ref, tbuf, sem_t):
 
     def body(carry):
         r, acc = carry
-        # current run's block id: min key among rows >= r
-        b_cur = jnp.min(jnp.where(lane1 >= r, kb2, nbt))
-        valid = b_cur < nbt
-        b_dma = jnp.minimum(b_cur, nbt - 1)
+        # current run's slot id: min key among rows >= r
+        b_cur = jnp.min(jnp.where(lane1 >= r, kb2, K))
+        valid = b_cur < K
+        b_dma = jnp.minimum(b_cur, K - 1)
 
         cp = pltpu.make_async_copy(gt_hbm.at[b_dma], tbuf, sem_t)
         cp.start()
         cp.wait()
 
-        # decode block origin (grid units)
-        bz = jax.lax.rem(b_dma, nbz)
-        by = jax.lax.rem(b_dma // nbz, nby)
-        bx = b_dma // (nbz * nby)
-        px = pos[0:1, :] - (bx * BLOCK).astype(jnp.float32)
-        py = pos[1:2, :] - (by * BLOCK).astype(jnp.float32)
-        pz = pos[2:3, :] - (bz * BLOCK).astype(jnp.float32)
+        px = pos[0:1, :]
+        py = pos[1:2, :]
+        pz = pos[2:3, :]
 
         mask = ((kb2 == b_cur) & valid).astype(jnp.float32)
         wyzT = _wyzT(py, pz) * mask  # (49, CHUNK)
@@ -143,12 +137,13 @@ def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
     """Run the G2P kernel.
 
     Args:
-      keys: (1, Pw) int32 sorted block ids (NBtot sentinel for inactive);
-        Pw a multiple of CHUNK.
-      posg: (8, Pw) f32 rows [x, y, z] in *global grid units*.
-      gtiles: (NB, 24, 128) f32 grid tiles [(c,i), (j,k)] from
-        extract_tiles.
-      nb_dims: (3,) int32 [NBtot, nby, nbz] (scalar-prefetched).
+      keys: (1, Pw) int32 sorted active-slot ids (K sentinel for
+        inactive); Pw a multiple of CHUNK.
+      posg: (8, Pw) f32 rows [x, y, z] in *block-local grid units*
+        (pos - 4*block_coord, same frame as the P2G operand).
+      gtiles: (K, 24, 128) f32 grid tiles [(c,i), (j,k)] from
+        extract_tiles_active (or extract_tiles for the dense path).
+      nb_dims: (1,) int32 [K] (scalar-prefetched sentinel).
 
     Returns (16, Pw) f32 rows [v(3), B row-major(9), 0 x4].
     """

@@ -76,10 +76,10 @@ def _wyzT(py_row, pz_row):
     )
 
 
-def _p2g_kernel(starts_ref, pdata_hbm, out_ref, pbuf, sem_p):
+def _p2g_kernel(s_ref, e_ref, pdata_hbm, out_ref, pbuf, sem_p):
     b = pl.program_id(0)
-    s = starts_ref[b]
-    e = starts_ref[b + 1]
+    s = s_ref[b]
+    e = e_ref[b]
     cnt = e - s
     dstart = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
     nch = jnp.where(cnt > 0, pl.cdiv(e - dstart, CHUNK), 0)
@@ -165,22 +165,24 @@ def _p2g_kernel(starts_ref, pdata_hbm, out_ref, pbuf, sem_p):
     out_ref[0] = jnp.concatenate(pieces, 0)  # (28, 49)
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks_total", "interpret"))
-def p2g_blocked(starts, pdata, num_blocks_total: int, interpret: bool = False):
-    """Run the P2G kernel.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def p2g_blocked(s_arr, e_arr, pdata, interpret: bool = False):
+    """Run the P2G kernel: one program per (active) block slot.
 
     Args:
-      starts: (NB+1,) int32 sorted-range offsets per block.
+      s_arr / e_arr: (K,) int32 sorted-range [start, end) per slot
+        (equal => empty slot; for the dense path pass starts[:-1] /
+        starts[1:]).
       pdata: (16, Ppad) f32 — rows [mv(3), mass, A row-major(9),
         pos_local(3)]; Ppad must be a multiple of 128 with at least CHUNK
         rows of slack past the last active particle.
-      num_blocks_total: NB (static).
 
-    Returns tiles (NB, 28, 49) f32 — [(i,c), (j,k)] halo tiles.
+    Returns tiles (K, 28, 49) f32 — [(i,c), (j,k)] halo tiles.
     """
+    K = s_arr.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_blocks_total,),
+        num_scalar_prefetch=2,
+        grid=(K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
@@ -195,9 +197,9 @@ def p2g_blocked(starts, pdata, num_blocks_total: int, interpret: bool = False):
     return pl.pallas_call(
         _p2g_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_blocks_total, NOUT, NJK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K, NOUT, NJK), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(starts, pdata)
+    )(s_arr, e_arr, pdata)

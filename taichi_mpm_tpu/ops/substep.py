@@ -1,5 +1,6 @@
-"""The blocked high-performance substep: sort -> Pallas P2G -> dense grid
-ops -> Pallas G2P -> plasticity/advection.
+"""The blocked high-performance substep: packed sort -> Pallas P2G halo
+tiles -> gather-based sparse node records -> grid ops on records ->
+window assembly -> Pallas G2P -> plasticity/advection.
 
 This is the performance path of the framework (the analog of the
 reference's ``optimized=true`` pipeline, mpm.cpp:452-575 with
@@ -22,14 +23,14 @@ from taichi_mpm_tpu.core.transfer import g2p_finish
 from taichi_mpm_tpu.materials import models as materials
 from taichi_mpm_tpu.math.kernels import inv_D
 from taichi_mpm_tpu.ops import blocked
-from taichi_mpm_tpu.ops.blocked import BLOCK, block_starts, num_blocks, sort_particles
+from taichi_mpm_tpu.ops.blocked import BLOCK, block_starts, sort_particles
 from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
 from taichi_mpm_tpu.ops.p2g_pallas import CHUNK, p2g_blocked
 
 
 def _decode_block_origin(keys, cfg: SimConfig):
-    """Block id -> block origin in grid units (float), per particle."""
-    nbx, nby, nbz = num_blocks(cfg)
+    """Padded block id -> block origin in grid units (float), per particle."""
+    nbx, nby, nbz = blocked.num_blocks_padded(cfg)
     bz = keys % nbz
     by = (keys // nbz) % nby
     bx = keys // (nbz * nby)
@@ -65,21 +66,37 @@ def prep_p2g(p: Particles, keys, cfg: SimConfig, dt):
     return jnp.pad(pdata, ((0, 0), (0, pw + CHUNK - n)))
 
 
-def grid_update_blocked(G, cfg: SimConfig, colliders, t, dt):
-    """Normalize + gravity + boundary projection on the blocked dense grid
-    (same semantics as core.transfer.grid_update, different layout)."""
-    mass = G[..., 3]
+def grid_update_records(rec, ids, cfg: SimConfig, colliders, t, dt):
+    """Normalize + gravity + boundary projection on active block node
+    records (K, 4, 4, 4, 4) — each grid node updated exactly once."""
+    from taichi_mpm_tpu.core.levelset import DirichletRegion
+
+    mass = rec[..., 3]
     has_mass = mass > 0.0
     inv_mass = jnp.where(has_mass, 1.0 / jnp.maximum(mass, 1e-30), 0.0)
-    v = G[..., :3] * inv_mass[..., None]
+    v = rec[..., :3] * inv_mass[..., None]
     if not cfg.particle_gravity:
         v = jnp.where(
             has_mass[..., None], v + jnp.asarray(cfg.gravity, v.dtype) * dt, v
         )
     if colliders:
-        gx, gy, gz = blocked.node_coords_blocked(cfg)
-        xg = jnp.stack([gx, gy, gz], -1)
+        bx, by, bz, _ = blocked._decode_ids(ids, cfg)
+        o = jnp.arange(4, dtype=jnp.float32)
+        gx = (bx[:, None].astype(jnp.float32) * 4.0 + o) * cfg.dx
+        gy = (by[:, None].astype(jnp.float32) * 4.0 + o) * cfg.dx
+        gz = (bz[:, None].astype(jnp.float32) * 4.0 + o) * cfg.dx
+        xg = jnp.stack(
+            [
+                jnp.broadcast_to(gx[:, :, None, None], mass.shape),
+                jnp.broadcast_to(gy[:, None, :, None], mass.shape),
+                jnp.broadcast_to(gz[:, None, None, :], mass.shape),
+            ],
+            -1,
+        )
         for c in colliders:
+            if isinstance(c, DirichletRegion):
+                v = c.apply(v, xg, t)
+                continue
             phi = c.sdf(xg, t)
             band = (phi > c.band_lo * cfg.dx) & (phi <= c.band_hi * cfg.dx)
             n = c.normal(xg, t, eps=0.5 * cfg.dx)
@@ -90,32 +107,49 @@ def grid_update_blocked(G, cfg: SimConfig, colliders, t, dt):
 
 
 def blocked_substep(
-    p: Particles, t, cfg: SimConfig, colliders, dt, interpret: bool = False
+    p: Particles,
+    t,
+    cfg: SimConfig,
+    colliders,
+    dt,
+    interpret: bool = False,
+    max_active_blocks: int = 0,
 ):
-    """One full substep on the blocked path. Returns (particles, t+dt).
+    """One full substep on the blocked path. Returns
+    ((particles, t+dt), n_active_blocks).
 
     Particles come back sorted by block (a new permutation every substep,
     mirroring the reference's per-substep sort, mpm.cpp:770-918).
+    max_active_blocks (static) caps the compacted active-block set — the
+    page-map capacity; 0 = dense (every block a program). The returned
+    occupancy lets the driver detect overflow and re-jit larger.
     """
-    nbx, nby, nbz = num_blocks(cfg)
-    nb_total = nbx * nby * nbz
+    nb_total = blocked.total_blocks_padded(cfg)
     n = p.capacity
     pw = _round_up(n, CHUNK)
+    K = max_active_blocks or nb_total
 
     p, keys, _ = sort_particles(p, cfg)
-    starts = block_starts(keys, nb_total)
+    ids, n_act, slot_map, s_arr, e_arr = blocked.build_page_map(keys, cfg, K)
 
     pdata = prep_p2g(p, keys, cfg, dt)
-    tiles = p2g_blocked(starts, pdata, nb_total, interpret=interpret)
-    G = blocked.merge_tiles(tiles.reshape(nb_total, 7, 4, 7, 7), cfg)
-    gv = grid_update_blocked(G, cfg, colliders, t, dt)
-    gtiles = blocked.extract_tiles(gv, cfg)
-
-    keys2d = jnp.pad(
-        keys[None, :], ((0, 0), (0, pw - n)), constant_values=nb_total
+    tiles = p2g_blocked(s_arr, e_arr, pdata, interpret=interpret)
+    # tiles (K, 28, 49) [(i,c), (j,k)] -> (K, i, j, k, c)
+    tiles_ijkc = jnp.transpose(
+        tiles.reshape(K, 7, 4, 7, 7), (0, 1, 3, 4, 2)
     )
-    posg = jnp.pad((p.x * cfg.inv_dx).T, ((0, 5), (0, pw - n)))  # (8, Pw)
-    nb_dims = jnp.asarray([nb_total, nby, nbz], jnp.int32)
+    nbr = blocked.neighbor_slots(ids, slot_map, cfg)
+    rec = blocked.tiles_to_records(tiles_ijkc, nbr, K)
+    vrec = grid_update_records(rec, ids, cfg, colliders, t, dt)
+    Wv = blocked.records_to_windows(vrec, nbr, K)
+    gtiles = blocked.windows_to_g2p_tiles(Wv)
+
+    slot_keys = slot_map[jnp.minimum(keys, nb_total)]
+    keys2d = jnp.pad(slot_keys[None, :], ((0, 0), (0, pw - n)), constant_values=K)
+    origin = _decode_block_origin(jnp.minimum(keys, nb_total - 1), cfg)
+    pos_local = p.x * cfg.inv_dx - origin
+    posg = jnp.pad(pos_local.T, ((0, 5), (0, pw - n)))  # (8, Pw)
+    nb_dims = jnp.asarray([K], jnp.int32)
     pout = g2p_blocked(keys2d, posg, gtiles, nb_dims, interpret=interpret)
 
     pout = pout[:, :n].T  # (P, 16)
@@ -125,4 +159,12 @@ def blocked_substep(
     v_new = jnp.where(act, v_new, 0.0)
     b_new = jnp.where(act[..., None], b_new, 0.0)
     p = g2p_finish(p, v_new, b_new, cfg, dt)
-    return p, t + dt
+    if cfg.particle_collision:
+        from taichi_mpm_tpu.core.transfer import particle_collision_resolution
+
+        p = particle_collision_resolution(p, cfg, colliders, t)
+    if cfg.clean_boundary:
+        from taichi_mpm_tpu.core.solver import clear_boundary_particles
+
+        p = clear_boundary_particles(p, cfg)
+    return (p, t + dt), n_act

@@ -36,6 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from taichi_mpm_tpu.config import SimConfig
+from taichi_mpm_tpu.utils import mv as mv_small
 from taichi_mpm_tpu.core.state import Particles
 from taichi_mpm_tpu.core.transfer import (
     _offset_weight,
@@ -102,7 +103,7 @@ def p2g_local(p: Particles, x_start, cfg: SimConfig, dt, n_shards: int):
         dpos = pos - idx.astype(pos.dtype)
         dpos = dpos.at[:, 0].add(-x_start.astype(pos.dtype))
         wo = _offset_weight(w, off) * p.active
-        mom = mv + jnp.einsum("pij,pj->pi", affine, dpos)
+        mom = mv + mv_small(affine, dpos)
         val = jnp.concatenate([mom, mass[:, None]], -1) * wo[:, None]
         inb = (
             (idx[:, 0] >= 0)

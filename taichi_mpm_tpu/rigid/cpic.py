@@ -36,7 +36,7 @@ from taichi_mpm_tpu.rigid.body import (
     boundary_particle_world,
     velocity_at,
 )
-from taichi_mpm_tpu.utils import outer
+from taichi_mpm_tpu.utils import outer, mv as mv_small
 
 
 def _compatible(grid_state, p_state, smask):
@@ -108,7 +108,7 @@ def p2g_cpic(p: Particles, bodies: RigidBodies, grid_rid, grid_states, cfg: SimC
 
         # -- compatible: normal MLS-MPM scatter --------------------------
         woa = wo * p.active
-        mom = mv + jnp.einsum("pij,pj->pi", affine, dpos)
+        mom = mv + mv_small(affine, dpos)
         val = jnp.concatenate([mom, mass[:, None]], -1) * woa[:, None]
         write = inb & compat
         flat = flat.at[lin].add(jnp.where(write[:, None], val, 0.0))
@@ -120,9 +120,7 @@ def p2g_cpic(p: Particles, bodies: RigidBodies, grid_rid, grid_states, cfg: SimC
         rigid_v = velocity_at(bodies, rid_safe, xg)
         fric = _friction_of(bodies, nrid, p.states)
         dv = vel - friction_project(vel, rigid_v, p.bnormal, fric)
-        impulse = (mass * wo)[:, None] * dv + dt * jnp.einsum(
-            "pij,pj->pi", force, gradw
-        )
+        impulse = (mass * wo)[:, None] * dv + dt * mv_small(force, gradw)
         Jo, tauo = accumulate_impulses(bodies, rid_safe, impulse, xg, hit)
         J_tot = J_tot + Jo
         tau_tot = tau_tot + tauo
@@ -254,6 +252,13 @@ def cpic_substep(p: Particles, bodies: RigidBodies, t, cfg: SimConfig, scene, dt
 
     p, J2, tau2 = g2p_cpic(p, bodies, grid_v, grid_rid, grid_states, cfg, dt)
     bodies = apply_impulses(bodies, J2, tau2)
+
+    if cfg.particle_collision:
+        p = transfer.particle_collision_resolution(p, cfg, scene.colliders, t)
+    if cfg.clean_boundary:
+        from taichi_mpm_tpu.core.solver import clear_boundary_particles
+
+        p = clear_boundary_particles(p, cfg)
 
     bodies = advance(bodies, t, dt, scene.pos_funcs, scene.rot_funcs, cfg.gravity)
     return p, bodies, t + dt

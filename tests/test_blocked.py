@@ -15,15 +15,24 @@ import pytest
 from taichi_mpm_tpu.core.solver import MPM, substep
 from taichi_mpm_tpu.core import transfer
 from taichi_mpm_tpu.ops import blocked
-from taichi_mpm_tpu.ops.substep import blocked_substep, grid_update_blocked, prep_p2g
+from taichi_mpm_tpu.ops.substep import blocked_substep, prep_p2g
 from taichi_mpm_tpu.ops.p2g_pallas import p2g_blocked
-from taichi_mpm_tpu.ops.blocked import block_starts, num_blocks, sort_particles
+from taichi_mpm_tpu.ops.blocked import (
+    active_block_ids,
+    block_starts,
+    neighbor_slots,
+    num_blocks_padded,
+    records_to_windows,
+    sort_particles,
+    tiles_to_records,
+    total_blocks_padded,
+)
 
 
-def _scene(n=400, res=16, material="jelly", seed=0, **kw):
+def _scene(n=400, res=16, material="jelly", seed=0, spread=(0.25, 0.75), **kw):
     rng = np.random.default_rng(seed)
     sim = MPM(res=(res, res, res), base_delta_t=2e-4, gravity=(0.0, -10.0, 0.0))
-    x0 = rng.uniform(0.25, 0.75, size=(n, 3)).astype(np.float32)
+    x0 = rng.uniform(*spread, size=(n, 3)).astype(np.float32)
     v0 = rng.normal(0, 0.5, size=(n, 3)).astype(np.float32)
     sim.add_particles(material, pos=x0, vel=None, density=1000.0, **kw)
     sim._finalize()
@@ -31,81 +40,90 @@ def _scene(n=400, res=16, material="jelly", seed=0, **kw):
     return sim, p
 
 
-def test_merge_extract_roundtrip():
-    """merge_tiles followed by extract_tiles must reproduce each block's
-    own 7^3 halo view of the summed grid."""
-    rng = np.random.default_rng(1)
-    sim, _ = _scene(n=8, res=16)
-    cfg = sim.cfg
-    nb = num_blocks(cfg)
-    nbt = nb[0] * nb[1] * nb[2]
-    tiles = jnp.asarray(rng.normal(size=(nbt, 7, 4, 7, 7)).astype(np.float32))
-    G = blocked.merge_tiles(tiles, cfg)
-    # check a couple of nodes by brute force
-    Gn = np.asarray(G)  # (nbx+2,4, nby+2,4, nbz+2,4, 4)
-    T = np.asarray(tiles).reshape(nb + (7, 4, 7, 7))
-    for (gx, gy, gz) in [(5, 6, 7), (8, 8, 8), (3, 12, 9), (0, 0, 0)]:
-        want = np.zeros(4)
-        for bx in range(nb[0]):
-            for by in range(nb[1]):
-                for bz in range(nb[2]):
-                    ix, iy, iz = gx - 4 * bx + 1, gy - 4 * by + 1, gz - 4 * bz + 1
-                    if 0 <= ix < 7 and 0 <= iy < 7 and 0 <= iz < 7:
-                        want += T[bx, by, bz, ix, :, iy, iz]
-        Bx, lx = gx // 4 + 1, gx % 4
-        By, ly = gy // 4 + 1, gy % 4
-        Bz, lz = gz // 4 + 1, gz % 4
-        np.testing.assert_allclose(
-            Gn[Bx, lx, By, ly, Bz, lz], want, rtol=1e-5, atol=1e-5
-        )
-
-    # extract: block b's tile row (j,k), col (c,i) = G at node 4b-1+offset
-    gt = np.asarray(blocked.extract_tiles(G[..., :3], cfg))
-    b = (1, 2, 1)
-    bid = (b[0] * nb[1] + b[1]) * nb[2] + b[2]
-    for (i, j, k) in [(0, 0, 0), (3, 4, 5), (6, 6, 6), (1, 2, 3)]:
-        gxyz = [4 * b[a] - 1 + o for a, o in enumerate((i, j, k))]
-        idx = tuple(
-            q for a in range(3) for q in (gxyz[a] // 4 + 1, gxyz[a] % 4)
-        )
-        for c in range(3):
-            np.testing.assert_allclose(
-                gt[bid, c * 7 + i, j * 7 + k], Gn[idx][c], rtol=1e-5
-            )
+def _records_pipeline(p, cfg, dt, K):
+    """sort -> P2G tiles -> records (the blocked grid build)."""
+    nbt = total_blocks_padded(cfg)
+    ps, keys, _ = sort_particles(p, cfg)
+    starts = block_starts(keys, nbt)
+    ids, n_act, slot_map = active_block_ids(starts, cfg, K)
+    pdata = prep_p2g(ps, keys, cfg, dt)
+    safe = jnp.minimum(ids, nbt - 1)
+    s_arr = jnp.where(ids < nbt, starts[safe], 0)
+    e_arr = jnp.where(ids < nbt, starts[safe + 1], 0)
+    tiles = p2g_blocked(s_arr, e_arr, pdata, interpret=True)
+    tiles_ijkc = jnp.transpose(tiles.reshape(K, 7, 4, 7, 7), (0, 1, 3, 4, 2))
+    nbr = neighbor_slots(ids, slot_map, cfg)
+    rec = tiles_to_records(tiles_ijkc, nbr, K)
+    return ps, ids, n_act, nbr, rec
 
 
 @pytest.mark.parametrize("material", ["jelly", "snow", "water", "sand"])
-def test_p2g_blocked_matches_oracle(material):
-    sim, p = _scene(n=300, res=16, material=material)
+def test_p2g_records_match_oracle(material):
+    """Active-block node records must equal the oracle dense grid at
+    every in-domain node (and the window assembly must read back the
+    same values)."""
+    sim, p = _scene(n=300, res=16, material=material, spread=(0.05, 0.95))
     cfg, dt = sim.cfg, sim.cfg.base_dt
-    nb = num_blocks(cfg)
-    nbt = nb[0] * nb[1] * nb[2]
+    K = 256
 
-    grid_ref = transfer.p2g(p, cfg, dt)  # (nodes..., 4) oracle
+    grid_ref = np.asarray(transfer.p2g(p, cfg, dt))  # (res+2,)^3 + (4,)
+    ps, ids, n_act, nbr, rec = _records_pipeline(p, cfg, dt, K)
+    assert int(n_act) <= K
 
-    ps, keys, _ = sort_particles(p, cfg)
-    starts = block_starts(keys, nbt)
-    pdata = prep_p2g(ps, keys, cfg, dt)
-    tiles = p2g_blocked(starts, pdata, nbt, interpret=True)
-    G = blocked.merge_tiles(tiles.reshape(nbt, 7, 4, 7, 7), cfg)
+    rec = np.asarray(rec)
+    ids_np = np.asarray(ids)
+    nbx, nby, nbz = num_blocks_padded(cfg)
+    nn = grid_ref.shape[0]
+    covered = np.zeros(grid_ref.shape[:3], bool)
+    for a, bid in enumerate(ids_np):
+        if bid >= nbx * nby * nbz:
+            continue
+        bz = bid % nbz
+        by = (bid // nbz) % nby
+        bx = bid // (nbz * nby)
+        for lx in range(4):
+            gx = 4 * bx + lx
+            if gx >= nn:
+                continue
+            for ly in range(4):
+                gy = 4 * by + ly
+                if gy >= nn:
+                    continue
+                for lz in range(4):
+                    gz = 4 * bz + lz
+                    if gz >= nn:
+                        continue
+                    np.testing.assert_allclose(
+                        rec[a, lx, ly, lz], grid_ref[gx, gy, gz],
+                        rtol=1e-4, atol=1e-5,
+                        err_msg=f"node ({gx},{gy},{gz})",
+                    )
+                    covered[gx, gy, gz] = True
+    # every node with mass must be covered by some active record
+    assert np.all(covered | (grid_ref[..., 3] == 0))
 
-    # compare on the common node range [0, res+2)
-    Gn = np.asarray(G)
-    nbx = nb[0]
-    dense = Gn.reshape(4 * (nbx + 2), 4 * (nbx + 2), 4 * (nbx + 2), 4)
-    dense = dense[4:, 4:, 4:]  # drop the low slack block -> node 0 aligned
-    ref = np.asarray(grid_ref)
-    nn = ref.shape[0]
-    np.testing.assert_allclose(
-        dense[:nn, :nn, :nn], ref, rtol=1e-4, atol=1e-5
-    )
-    # nothing outside the oracle's node range
-    assert np.abs(dense[nn:]).max() == 0.0
+    # window readback: block's 7^3 window equals the grid slab 4b-1..4b+5
+    win = np.asarray(records_to_windows(jnp.asarray(rec), nbr, K))
+    for a, bid in enumerate(ids_np[: int(n_act)]):
+        bz = bid % nbz
+        by = (bid // nbz) % nby
+        bx = bid // (nbz * nby)
+        for w, g in [(0, -1), (3, 2), (6, 5)]:
+            gx, gy, gz = 4 * bx + g, 4 * by + g, 4 * bz + g
+            want = (
+                grid_ref[gx, gy, gz]
+                if 0 <= gx < nn and 0 <= gy < nn and 0 <= gz < nn
+                else np.zeros(4)
+            )
+            np.testing.assert_allclose(
+                win[a, w, w, w], want, rtol=1e-4, atol=1e-5
+            )
+        break  # one block suffices for the slab check
 
 
 @pytest.mark.parametrize("material", ["jelly", "sand"])
 def test_blocked_substep_matches_oracle(material):
-    sim, p = _scene(n=300, res=16, material=material)
+    sim, p = _scene(n=300, res=16, material=material, spread=(0.05, 0.95))
     from taichi_mpm_tpu.core import levelset
 
     colliders = (
@@ -123,9 +141,9 @@ def test_blocked_substep_matches_oracle(material):
     t = jnp.float32(0.0)
     for _ in range(3):
         p_ref, _ = substep(p_ref, t, cfg, colliders, dt)
-        p_fast, _ = blocked_substep(p_fast, t, cfg, colliders, dt, interpret=True)
-        # re-sorting inside blocked_substep permutes; bring oracle to the
-        # same order for comparison at the next iteration
+        (p_fast, _), _ = blocked_substep(
+            p_fast, t, cfg, colliders, dt, interpret=True, max_active_blocks=256
+        )
         p_ref, _, _ = sort_particles(p_ref, cfg)
         p_fast, _, _ = sort_particles(p_fast, cfg)
         t = t + dt
@@ -142,3 +160,49 @@ def test_blocked_substep_matches_oracle(material):
     np.testing.assert_allclose(
         np.asarray(p_fast.C), np.asarray(p_ref.C), atol=2e-3
     )
+
+
+def test_sort_packed_roundtrip():
+    """The packed one-gather sort must preserve every field bitwise."""
+    sim, p = _scene(n=123, res=16)
+    cfg = sim.cfg
+    p = dataclasses.replace(
+        p,
+        states=jnp.arange(p.capacity, dtype=jnp.int32) * 7 + 3,
+        near_b=jnp.arange(p.capacity) % 3 == 0,
+    )
+    ps, keys, order = sort_particles(p, cfg)
+    inv = np.asarray(order)
+    for f in dataclasses.fields(p):
+        a = np.asarray(getattr(p, f.name))
+        b = np.asarray(getattr(ps, f.name))
+        np.testing.assert_array_equal(a[inv], b, err_msg=f.name)
+
+
+def test_active_compaction_matches_dense():
+    """A tight K and a loose K give identical physics (and n_act reports
+    the true dilated occupancy)."""
+    sim, p = _scene(n=300, res=16)
+    cfg, dt = sim.cfg, sim.cfg.base_dt
+    p, _, _ = sort_particles(p, cfg)
+    t = jnp.float32(0.0)
+    (pd, _), n_dense = blocked_substep(
+        p, t, cfg, (), dt, interpret=True, max_active_blocks=total_blocks_padded(cfg)
+    )
+    (pa, _), n_act = blocked_substep(
+        p, t, cfg, (), dt, interpret=True, max_active_blocks=128
+    )
+    assert int(n_act) == int(n_dense) <= 128
+    np.testing.assert_array_equal(np.asarray(pd.x), np.asarray(pa.x))
+    np.testing.assert_array_equal(np.asarray(pd.v), np.asarray(pa.v))
+    np.testing.assert_array_equal(np.asarray(pd.F), np.asarray(pa.F))
+
+
+def test_active_overflow_reported():
+    sim, p = _scene(n=300, res=16)
+    cfg, dt = sim.cfg, sim.cfg.base_dt
+    p, _, _ = sort_particles(p, cfg)
+    (_, _), n_act = blocked_substep(
+        p, jnp.float32(0.0), cfg, (), dt, interpret=True, max_active_blocks=4
+    )
+    assert int(n_act) > 4  # overflow is visible to the driver
