@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -54,6 +55,9 @@ class Collider:
     sdf: Callable
     friction: float = 0.0
     velocity: Optional[Callable] = None
+    # Analytic unit-normal field (x, t) -> (..., d); None = central
+    # differences of the SDF (6 extra SDF evaluations).
+    normal_fn: Optional[Callable] = None
     # False => the SDF/velocity ignore t, so node fields can be computed
     # once per frame instead of per substep (a DynamicLevelSet that
     # actually moves sets True; mpm.cpp:296-372 samples per substep).
@@ -63,8 +67,11 @@ class Collider:
     band_lo: float = -3.0
     band_hi: float = 0.0
 
-    def normal(self, x, t, eps):  # noqa: D102  (see class docstring)
-        """Central-difference SDF gradient, normalized."""
+    def normal(self, x, t, eps):
+        """Unit outward normal: analytic if provided, else central
+        differences of the SDF."""
+        if self.normal_fn is not None:
+            return self.normal_fn(x, t)
         d = x.shape[-1]
         grads = []
         for k in range(d):
@@ -93,7 +100,10 @@ def plane(point, normal_vec, friction=0.0, velocity=None) -> Collider:
     def sdf(x, t):
         return jnp.sum((x - p) * n, -1)
 
-    return Collider(sdf=sdf, friction=friction, velocity=velocity)
+    def normal_fn(x, t):
+        return jnp.broadcast_to(n, x.shape)
+
+    return Collider(sdf=sdf, friction=friction, velocity=velocity, normal_fn=normal_fn)
 
 
 def sphere(center, radius, friction=0.0, inside_out=False, velocity=None) -> Collider:
@@ -103,7 +113,12 @@ def sphere(center, radius, friction=0.0, inside_out=False, velocity=None) -> Col
         d = jnp.linalg.norm(x - c, axis=-1) - radius
         return -d if inside_out else d
 
-    return Collider(sdf=sdf, friction=friction, velocity=velocity)
+    def normal_fn(x, t):
+        r = x - c
+        nrm = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+        return -nrm if inside_out else nrm
+
+    return Collider(sdf=sdf, friction=friction, velocity=velocity, normal_fn=normal_fn)
 
 
 def box_domain(lo, hi, friction=0.0, velocity=None) -> Collider:
@@ -121,7 +136,18 @@ def box_domain(lo, hi, friction=0.0, velocity=None) -> Collider:
             jnp.min(x - lo, axis=-1), jnp.min(hi - x, axis=-1)
         )
 
-    return Collider(sdf=sdf, friction=friction, velocity=velocity)
+    def normal_fn(x, t):
+        # inward normal of the nearest wall (one-hot on the argmin face)
+        d_lo = x - lo
+        d_hi = hi - x
+        dist = jnp.concatenate([d_lo, d_hi], -1)
+        k = jnp.argmin(dist, -1)
+        d = x.shape[-1]
+        sign = jnp.where(k < d, 1.0, -1.0)
+        axis = jnp.where(k < d, k, k - d)
+        return sign[..., None] * jax.nn.one_hot(axis, d, dtype=x.dtype)
+
+    return Collider(sdf=sdf, friction=friction, velocity=velocity, normal_fn=normal_fn)
 
 
 def cylinder(center, axis: int, radius, friction=0.0, velocity=None) -> Collider:

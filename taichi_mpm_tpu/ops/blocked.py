@@ -275,6 +275,121 @@ _WIN_GROUPS = (  # (o_index, window slice, record-lane slice)
 )
 
 
+# ---------------------------------------------------------------------------
+# MXU-formulated halo merge / window assembly.
+#
+# The straightforward 5-D (K, 7, 7, 7, C) piece arithmetic is hostile to
+# the TPU layout engine (minor dims (7, 4) tile to (4, 128): an 18x pad
+# blowup on every op). Instead, tiles and records live as clean 2-D rows
+# and the static piece-selection pattern becomes 27 matmuls against
+# precomputed 0/1 matrices — the merge rides the MXU:
+#
+#   rec (K, 256)  = sum_o  gather(tiles (K, 1372), nbr_o) @ M_o
+#   win (K, 3072) = sum_o  gather(vrec (K, 192),  nbr_o) @ W_o
+#
+# Layouts: tile rows = P2G output [(i,c), (j,k)] flattened (1372);
+# record rows = c*64 + lx*16 + ly*4 + lz (c-major, so mass is the
+# contiguous lane block [192:256]); window rows = the G2P operand
+# [(c,i), (j,k)] embedded in (24, 128).
+# ---------------------------------------------------------------------------
+
+_TILE_FLAT = 28 * 49  # 1372
+_REC_FLAT = 4 * 64  # 256
+_VREC_FLAT = 3 * 64  # 192
+_WIN_FLAT = 24 * 128  # 3072
+
+_mm_cache = {}
+
+
+def _offset_maps():
+    """For each neighbor offset index o in 0..2 (block offset o-1), the
+    list of (lane l, tile index i) pairs (records<-tiles) and
+    (window w, lane l) pairs (windows<-records)."""
+    rec, win = [], []
+    for o in range(3):
+        ob = o - 1
+        rec.append([(l, l - 4 * ob + 1) for l in range(4) if 0 <= l - 4 * ob + 1 < 7])
+        win.append(
+            [(w, w - 1 - 4 * ob) for w in range(7) if 0 <= w - 1 - 4 * ob < 4]
+        )
+    return rec, win
+
+
+def _merge_matrices():
+    """27 static (1372, 256) 0/1 matrices: tile flat index -> record lane."""
+    if "M" in _mm_cache:
+        return _mm_cache["M"]
+    recmap, _ = _offset_maps()
+    mats = np.zeros((3, 3, 3, _TILE_FLAT, _REC_FLAT), np.float32)
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
+                for lx, ix in recmap[ox]:
+                    for ly, iy in recmap[oy]:
+                        for lz, iz in recmap[oz]:
+                            for c in range(4):
+                                ti = (ix * 4 + c) * 49 + iy * 7 + iz
+                                ri = c * 64 + lx * 16 + ly * 4 + lz
+                                mats[ox, oy, oz, ti, ri] = 1.0
+    _mm_cache["M"] = mats
+    return mats
+
+
+def _window_matrices():
+    """27 static (192, 3072) 0/1 matrices: velocity record lane -> G2P
+    operand entry [(c, wx) row, (wy, wz) lane]."""
+    if "W" in _mm_cache:
+        return _mm_cache["W"]
+    _, winmap = _offset_maps()
+    mats = np.zeros((3, 3, 3, _VREC_FLAT, _WIN_FLAT), np.float32)
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
+                for wx, lx in winmap[ox]:
+                    for wy, ly in winmap[oy]:
+                        for wz, lz in winmap[oz]:
+                            for c in range(3):
+                                ri = c * 64 + lx * 16 + ly * 4 + lz
+                                wi = (c * 7 + wx) * 128 + wy * 7 + wz
+                                mats[ox, oy, oz, ri, wi] = 1.0
+    _mm_cache["W"] = mats
+    return mats
+
+
+def _mm_hi(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def merge_tiles_mm(tiles, nbr):
+    """tiles (K, 28, 49) P2G halo tiles -> node records (K, 256) flat
+    (c-major lanes). One row gather + one MXU matmul per neighbor offset."""
+    K = tiles.shape[0]
+    tf = tiles.reshape(K, _TILE_FLAT)
+    tp = jnp.concatenate([tf, jnp.zeros((1, _TILE_FLAT), tf.dtype)], 0)
+    M = _merge_matrices()
+    rec = jnp.zeros((K, _REC_FLAT), tf.dtype)
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
+                rows = tf if (ox, oy, oz) == (1, 1, 1) else tp[nbr[:, ox, oy, oz]]
+                rec = rec + _mm_hi(rows, jnp.asarray(M[ox, oy, oz]))
+    return rec
+
+
+def windows_mm(vrec, nbr):
+    """Velocity records (K, 192) -> G2P operand tiles (K, 24, 128)."""
+    K = vrec.shape[0]
+    vp = jnp.concatenate([vrec, jnp.zeros((1, _VREC_FLAT), vrec.dtype)], 0)
+    W = _window_matrices()
+    win = jnp.zeros((K, _WIN_FLAT), vrec.dtype)
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
+                rows = vrec if (ox, oy, oz) == (1, 1, 1) else vp[nbr[:, ox, oy, oz]]
+                win = win + _mm_hi(rows, jnp.asarray(W[ox, oy, oz]))
+    return win.reshape(K, 24, 128)
+
+
 def tiles_to_records(tiles_ijkc, nbr, K: int):
     """Halo-merge without scatter: each active block's (4,4,4,C) node
     record = sum of the overlapping pieces of its <=27 neighbors' halo
@@ -289,11 +404,17 @@ def tiles_to_records(tiles_ijkc, nbr, K: int):
     pad = jnp.zeros((1, TILE, TILE, TILE, C), tiles_ijkc.dtype)
     tp = jnp.concatenate([tiles_ijkc, pad], 0)  # (K+1, ...)
     rec = jnp.zeros((tiles_ijkc.shape[0], BLOCK, BLOCK, BLOCK, C), tiles_ijkc.dtype)
+    # Gather each offset's FULL neighbor tiles (big 5.5 KB rows run at
+    # HBM bandwidth), then take the static sub-piece; gathering the tiny
+    # pieces directly serializes into per-row DMAs (~100x slower).
     for ox, lx, ix in _REC_GROUPS:
         for oy, ly, iy in _REC_GROUPS:
             for oz, lz, iz in _REC_GROUPS:
-                piece = tp[:, ix, iy, iz, :][nbr[:, ox, oy, oz]]
-                rec = rec.at[:, lx, ly, lz, :].add(piece)
+                if (ox, oy, oz) == (1, 1, 1):
+                    full = tp[:-1]  # self: no gather
+                else:
+                    full = tp[nbr[:, ox, oy, oz]]
+                rec = rec.at[:, lx, ly, lz, :].add(full[:, ix, iy, iz, :])
     return rec
 
 
@@ -307,8 +428,11 @@ def records_to_windows(rec, nbr, K: int):
     for ox, wx, lx in _WIN_GROUPS:
         for oy, wy, ly in _WIN_GROUPS:
             for oz, wz, lz in _WIN_GROUPS:
-                piece = rp[:, lx, ly, lz, :][nbr[:, ox, oy, oz]]
-                win = win.at[:, wx, wy, wz, :].set(piece)
+                if (ox, oy, oz) == (1, 1, 1):
+                    full = rp[:-1]
+                else:
+                    full = rp[nbr[:, ox, oy, oz]]
+                win = win.at[:, wx, wy, wz, :].set(full[:, lx, ly, lz, :])
     return win
 
 

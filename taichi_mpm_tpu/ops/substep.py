@@ -66,6 +66,65 @@ def prep_p2g(p: Particles, keys, cfg: SimConfig, dt):
     return jnp.pad(pdata, ((0, 0), (0, pw + CHUNK - n)))
 
 
+def grid_update_flat(rec, ids, cfg: SimConfig, colliders, t, dt):
+    """Normalize + gravity + boundary projection on flat node records
+    (K, 256) [c-major lanes: c*64 + l] -> velocity records (K, 192).
+
+    Everything runs on layout-clean (K, 64)-lane slabs; the only
+    (..., 3)-shaped arrays are the collider SDF/normal inputs (one
+    materialization each — analytic normals avoid the 6 central-diff
+    SDF evaluations)."""
+    from taichi_mpm_tpu.core.levelset import DirichletRegion
+
+    mass = rec[:, 192:256]
+    has_mass = mass > 0.0
+    inv = jnp.where(has_mass, 1.0 / jnp.maximum(mass, 1e-30), 0.0)
+    v = [rec[:, c * 64 : (c + 1) * 64] * inv for c in range(3)]
+    if not cfg.particle_gravity:
+        for c in range(3):
+            v[c] = jnp.where(has_mass, v[c] + cfg.gravity[c] * dt, v[c])
+    if colliders:
+        bx, by, bz, _ = blocked._decode_ids(ids, cfg)
+        li = jnp.arange(64, dtype=jnp.int32)
+        lx, ly, lz = li // 16, (li // 4) % 4, li % 4
+        gx = (bx[:, None] * 4 + lx).astype(jnp.float32) * cfg.dx
+        gy = (by[:, None] * 4 + ly).astype(jnp.float32) * cfg.dx
+        gz = (bz[:, None] * 4 + lz).astype(jnp.float32) * cfg.dx
+        xg = jnp.stack([gx, gy, gz], -1)  # (K, 64, 3)
+        for c in colliders:
+            if isinstance(c, DirichletRegion):
+                m = c.mask(xg, t)
+                vel = jnp.asarray(
+                    c.velocity if c.velocity else (0.0, 0.0, 0.0), jnp.float32
+                )
+                for k in range(3):
+                    v[k] = jnp.where(m, vel[k], v[k])
+                continue
+            phi = c.sdf(xg, t)
+            band = (phi > c.band_lo * cfg.dx) & (phi <= c.band_hi * cfg.dx) & has_mass
+            nrm = c.normal(xg, t, eps=0.5 * cfg.dx)
+            bv = c.boundary_velocity(xg, t)
+            n_c = [nrm[..., k] for k in range(3)]
+            bv_c = [bv[..., k] for k in range(3)]
+            # componentwise friction projection (mpm_fwd.h:26-57)
+            mu = float(c.friction)
+            sticky = mu == -1.0
+            slip = mu <= -2.0
+            mu_eff = -mu - 2.0 if slip else mu
+            rel = [v[k] - bv_c[k] for k in range(3)]
+            vn = sum(n_c[k] * rel[k] for k in range(3))
+            vt = [rel[k] - vn * n_c[k] for k in range(3)]
+            vt_norm = jnp.sqrt(
+                jnp.maximum(sum(vt[k] * vt[k] for k in range(3)), 1e-30)
+            )
+            scale = jnp.maximum(vt_norm + jnp.minimum(vn, 0.0) * mu_eff, 0.0) / vt_norm
+            keep_n = 0.0 if slip else jnp.maximum(vn, 0.0)
+            for k in range(3):
+                proj = bv_c[k] if sticky else scale * vt[k] + keep_n * n_c[k] + bv_c[k]
+                v[k] = jnp.where(band, proj, v[k])
+    return jnp.concatenate(v, axis=1)
+
+
 def grid_update_records(rec, ids, cfg: SimConfig, colliders, t, dt):
     """Normalize + gravity + boundary projection on active block node
     records (K, 4, 4, 4, 4) — each grid node updated exactly once."""
@@ -134,15 +193,10 @@ def blocked_substep(
 
     pdata = prep_p2g(p, keys, cfg, dt)
     tiles = p2g_blocked(s_arr, e_arr, pdata, interpret=interpret)
-    # tiles (K, 28, 49) [(i,c), (j,k)] -> (K, i, j, k, c)
-    tiles_ijkc = jnp.transpose(
-        tiles.reshape(K, 7, 4, 7, 7), (0, 1, 3, 4, 2)
-    )
     nbr = blocked.neighbor_slots(ids, slot_map, cfg)
-    rec = blocked.tiles_to_records(tiles_ijkc, nbr, K)
-    vrec = grid_update_records(rec, ids, cfg, colliders, t, dt)
-    Wv = blocked.records_to_windows(vrec, nbr, K)
-    gtiles = blocked.windows_to_g2p_tiles(Wv)
+    rec = blocked.merge_tiles_mm(tiles, nbr)
+    vrec = grid_update_flat(rec, ids, cfg, colliders, t, dt)
+    gtiles = blocked.windows_mm(vrec, nbr)
 
     slot_keys = slot_map[jnp.minimum(keys, nb_total)]
     keys2d = jnp.pad(slot_keys[None, :], ((0, 0), (0, pw - n)), constant_values=K)
