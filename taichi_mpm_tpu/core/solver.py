@@ -385,21 +385,15 @@ class MPM:
     def _build_blocked_jit(self, n_substeps: int, cap: int):
         cfg = self.cfg
         colliders = tuple(self.colliders)
-        from taichi_mpm_tpu.ops.substep import blocked_substep
+        from taichi_mpm_tpu.ops.substep import blocked_frame
 
         self._blocked_cap = cap
 
         def fn(p, t):
-            def body(carry, _):
-                pp, tt = carry
-                (pp, tt), n_act = blocked_substep(
-                    pp, tt, cfg, colliders, cfg.base_dt,
-                    max_active_blocks=cap,
-                )
-                return (pp, tt), n_act
-
-            (p, t), n_acts = jax.lax.scan(body, (p, t), None, length=n_substeps)
-            return p, t, jnp.max(n_acts)
+            p, t, nmax, _ = blocked_frame(
+                p, t, cfg, colliders, cfg.base_dt, n_substeps, cap
+            )
+            return p, t, nmax
 
         return jax.jit(fn)
 

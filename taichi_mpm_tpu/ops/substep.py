@@ -41,10 +41,11 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def prep_p2g(p: Particles, keys, cfg: SimConfig, dt):
+def prep_p2g(p: Particles, keys, cfg: SimConfig, dt, origin=None):
     """Build the P2G operand pdata (16, Pw + CHUNK)."""
     invD = inv_D(cfg.kernel_order)
-    origin = _decode_block_origin(keys, cfg)
+    if origin is None:
+        origin = _decode_block_origin(keys, cfg)
     pos_local = p.x * cfg.inv_dx - origin
 
     vel = p.v
@@ -183,26 +184,55 @@ def blocked_substep(
     page-map capacity; 0 = dense (every block a program). The returned
     occupancy lets the driver detect overflow and re-jit larger.
     """
+    K = max_active_blocks or blocked.total_blocks_padded(cfg)
+    p, keys, _ = sort_particles(p, cfg)
+    pm = build_page_map_full(keys, cfg, K)
+    (p, t), n_act = substep_presorted(
+        p, keys, pm, t, cfg, colliders, dt, interpret=interpret
+    )
+    return (p, t), n_act
+
+
+def build_page_map_full(keys, cfg: SimConfig, K: int):
+    """Page map + neighbor table + precomputed slot keys, built once per
+    (re)sort and reused across substeps while particles stay within half
+    a cell of their sort-time block."""
     nb_total = blocked.total_blocks_padded(cfg)
+    ids, n_act, slot_map, s_arr, e_arr = blocked.build_page_map(keys, cfg, K)
+    nbr = blocked.neighbor_slots(ids, slot_map, cfg)
+    slot_keys = slot_map[jnp.minimum(keys, nb_total)]
+    origin = _decode_block_origin(jnp.minimum(keys, nb_total - 1), cfg)
+    return dict(
+        ids=ids, n_act=n_act, s_arr=s_arr, e_arr=e_arr, nbr=nbr,
+        slot_keys=slot_keys, origin=origin,
+    )
+
+
+def substep_presorted(
+    p: Particles, keys, pm, t, cfg: SimConfig, colliders, dt,
+    interpret: bool = False,
+):
+    """One substep against a frozen sort/page map.
+
+    Exact as long as every particle is within half a cell of its
+    sort-time block: the 7-node halo tile covers local positions in
+    [-0.5, 4.5) (stencil nodes -1..5), so the per-substep re-sort the
+    reference does (mpm.cpp:770-918, cheap on CPU, ~1/3 of the substep
+    on TPU) is replaced by a drift-triggered lazy re-sort."""
+    K = pm["ids"].shape[0]
     n = p.capacity
     pw = _round_up(n, CHUNK)
-    K = max_active_blocks or nb_total
 
-    p, keys, _ = sort_particles(p, cfg)
-    ids, n_act, slot_map, s_arr, e_arr = blocked.build_page_map(keys, cfg, K)
+    pdata = prep_p2g(p, keys, cfg, dt, origin=pm["origin"])
+    tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
+    rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+    vrec = grid_update_flat(rec, pm["ids"], cfg, colliders, t, dt)
+    gtiles = blocked.windows_mm(vrec, pm["nbr"])
 
-    pdata = prep_p2g(p, keys, cfg, dt)
-    tiles = p2g_blocked(s_arr, e_arr, pdata, interpret=interpret)
-    nbr = blocked.neighbor_slots(ids, slot_map, cfg)
-    rec = blocked.merge_tiles_mm(tiles, nbr)
-    vrec = grid_update_flat(rec, ids, cfg, colliders, t, dt)
-    gtiles = blocked.windows_mm(vrec, nbr)
-
-    slot_keys = slot_map[jnp.minimum(keys, nb_total)]
-    keys2d = jnp.pad(slot_keys[None, :], ((0, 0), (0, pw - n)), constant_values=K)
-    origin = _decode_block_origin(jnp.minimum(keys, nb_total - 1), cfg)
-    pos_local = p.x * cfg.inv_dx - origin
-    posg = jnp.pad(pos_local.T, ((0, 5), (0, pw - n)))  # (8, Pw)
+    keys2d = jnp.pad(
+        pm["slot_keys"][None, :], ((0, 0), (0, pw - n)), constant_values=K
+    )
+    posg = jnp.pad(pdata[13:16, :pw], ((0, 5), (0, 0)))  # block-local pos
     nb_dims = jnp.asarray([K], jnp.int32)
     pout = g2p_blocked(keys2d, posg, gtiles, nb_dims, interpret=interpret)
 
@@ -221,4 +251,48 @@ def blocked_substep(
         from taichi_mpm_tpu.core.solver import clear_boundary_particles
 
         p = clear_boundary_particles(p, cfg)
-    return (p, t + dt), n_act
+    return (p, t + dt), pm["n_act"]
+
+
+def blocked_frame(
+    p: Particles, t, cfg: SimConfig, colliders, dt, n_substeps: int, K: int,
+    interpret: bool = False,
+):
+    """A frame with drift-triggered lazy re-sorting: sort once, run
+    substeps against the frozen page map, and re-sort inside the scan
+    (lax.cond) only when the accumulated max displacement approaches
+    half a cell. Returns (p, t, max n_act, n_sorts)."""
+
+    def resort(p):
+        p, keys, _ = sort_particles(p, cfg)
+        return p, keys, build_page_map_full(keys, cfg, K)
+
+    p, keys, pm = resort(p)
+
+    def body(carry, _):
+        p, keys, pm, drift, t, nmax, nsorts = carry
+        (p, t), n_act = substep_presorted(
+            p, keys, pm, t, cfg, colliders, dt, interpret=interpret
+        )
+        # conservative per-substep drift bound from the post-update
+        # velocities that advect this step
+        vmax = jnp.max(jnp.where(p.active[:, None], jnp.abs(p.v), 0.0))
+        drift = drift + dt * cfg.inv_dx * vmax
+        need = drift >= 0.45
+
+        def do_resort(p):
+            return resort(p)
+
+        def keep(p):
+            return p, keys, pm
+
+        p, keys, pm = jax.lax.cond(need, do_resort, keep, p)
+        drift = jnp.where(need, 0.0, drift)
+        nsorts = nsorts + need.astype(jnp.int32)
+        return (p, keys, pm, drift, t, jnp.maximum(nmax, n_act), nsorts), None
+
+    carry = (p, keys, pm, jnp.float32(0.0), t, pm["n_act"], jnp.int32(1))
+    (p, keys, pm, _, t, nmax, nsorts), _ = jax.lax.scan(
+        body, carry, None, length=n_substeps
+    )
+    return p, t, nmax, nsorts

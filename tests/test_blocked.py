@@ -206,3 +206,39 @@ def test_active_overflow_reported():
         p, jnp.float32(0.0), cfg, (), dt, interpret=True, max_active_blocks=4
     )
     assert int(n_act) > 4  # overflow is visible to the driver
+
+def test_lazy_resort_frame_matches_per_substep_sort():
+    """blocked_frame's drift-triggered lazy re-sort must reproduce the
+    per-substep-sort trajectory even when particles cross blocks (fast
+    drift forces several in-scan re-sorts)."""
+    from taichi_mpm_tpu.ops.substep import blocked_frame
+
+    sim, p = _scene(n=300, res=16, spread=(0.1, 0.6))
+    cfg = sim.cfg
+    import dataclasses as dc
+
+    # strong uniform drift: ~0.1 cells/substep -> resorts mid-frame
+    vdrift = 0.1 / (cfg.base_dt * cfg.inv_dx)
+    v = np.broadcast_to(
+        np.asarray([vdrift, 0.0, 0.0], np.float32), (p.capacity, 3)
+    ).copy()
+    p = dc.replace(p, v=jnp.asarray(v))
+    p, _, _ = sort_particles(p, cfg)
+
+    # reference: sort every substep
+    p_ref = p
+    t = jnp.float32(0.0)
+    for _ in range(12):
+        (p_ref, t), _ = blocked_substep(
+            p_ref, t, cfg, (), cfg.base_dt, interpret=True, max_active_blocks=128
+        )
+
+    p_lazy, t2, nmax, nsorts = blocked_frame(
+        p, jnp.float32(0.0), cfg, (), cfg.base_dt, 12, 128, interpret=True
+    )
+    assert int(nsorts) >= 2  # drift actually triggered re-sorts
+    a = np.asarray(p_ref.x)[np.asarray(p_ref.active)]
+    b = np.asarray(p_lazy.x)[np.asarray(p_lazy.active)]
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a, b, atol=1e-6)
