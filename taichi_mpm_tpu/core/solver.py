@@ -449,6 +449,23 @@ class MPM:
             self._finalize()
         return float(mechanical_energy(self.particles, self.cfg))
 
+    def general_action(self, action: str, **kw):
+        """String-dispatch shim for reference API parity
+        (MPM::general_action, mpm.cpp:921-978: 'save'/'load'/
+        'add_articulation'/...)."""
+        if action == "save":
+            return self.save(kw["file_name"] if "file_name" in kw else kw["path"])
+        if action == "load":
+            return self.load(kw["file_name"] if "file_name" in kw else kw["path"])
+        if action == "add_articulation":
+            kw2 = dict(kw)
+            return self.add_articulation(
+                kw2.pop("type"), kw2.pop("obj0"), kw2.pop("obj1", 0), **kw2
+            )
+        if action == "calculate_energy":
+            return self.energy()
+        raise ValueError(f"unknown general_action {action!r}")
+
     def visualize(self, path: str, verbose: bool = False):
         """Dump active particles to a BGEO file (MPM::visualize,
         visualize.cpp:17-99; verbose adds v/mass/boundary attributes)."""

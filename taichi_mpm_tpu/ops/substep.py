@@ -61,9 +61,12 @@ def prep_p2g(p: Particles, keys, cfg: SimConfig, dt, origin=None):
 
     n = p.capacity
     pw = _round_up(n, CHUNK)
-    pdata = jnp.concatenate(
-        [mv, mass[:, None], affine.reshape(n, 9), pos_local], axis=1
-    ).T  # (16, P)
+    # build channel-major directly: 16 (P,) rows stacked, instead of a
+    # (P, 16) concat followed by a 512 MB relayout transpose at 8M
+    rows = [mv[:, 0], mv[:, 1], mv[:, 2], mass]
+    rows += [affine[:, i, j] for i in range(3) for j in range(3)]
+    rows += [pos_local[:, 0], pos_local[:, 1], pos_local[:, 2]]
+    pdata = jnp.stack(rows, 0)  # (16, P)
     return jnp.pad(pdata, ((0, 0), (0, pw + CHUNK - n)))
 
 
