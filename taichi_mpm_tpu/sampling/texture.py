@@ -87,11 +87,13 @@ def ring(center=None, inner: float = 0.0, outer: float = 0.05, axis: int = 2) ->
 
     def fn(p):
         d = p.shape[-1]
-        c = np.asarray(center if center is not None else [0.5] * d, np.float32)
-        q = p - c
-        if d == 3:
-            q = np.delete(q, axis, axis=-1)
-        r = np.linalg.norm(q, axis=-1)
+        q = np.delete(p, axis, axis=-1) if d == 3 else p
+        c = np.asarray(
+            center if center is not None else [0.5] * q.shape[-1], np.float32
+        )
+        if len(c) == 3 and d == 3:
+            c = np.delete(c, axis)  # full-dim center: drop the axis comp.
+        r = np.linalg.norm(q - c, axis=-1)
         return ((r >= inner) & (r < outer)).astype(np.float32)
 
     return Texture(fn)

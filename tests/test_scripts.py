@@ -13,7 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",
-    PYTHONPATH=REPO,
+    PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
 )
 
