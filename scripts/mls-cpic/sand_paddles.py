@@ -16,7 +16,7 @@ args = parse_args(frames=120, res=64)
 r = args.res
 
 sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
-          capacity=200_000)
+          capacity=50_000)
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.12, friction=0.4))
 
 for k, cx in enumerate((0.35, 0.65)):

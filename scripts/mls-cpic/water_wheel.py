@@ -17,7 +17,7 @@ r = args.res
 center = (0.5, 0.5, 0.5)
 
 sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
-          capacity=200_000)
+          capacity=50_000)
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.1, friction=0.2))
 
 hub = sim.add_particles(
