@@ -174,9 +174,14 @@ def gather_cdf(p_x, p_states, grid_dist, grid_rid, grid_states, num_rigids: int,
     new_tags = jnp.where(add, 2 + neg_bit, 0)
     states = states | jnp.sum(new_tags << (2 * rr), axis=1).astype(jnp.int32)
 
-    # Pass 2: weighted MLS reconstruction (:209-260) with the final states.
-    XtX = jnp.zeros((P, d + 1, d + 1), jnp.float32)
-    XtY = jnp.zeros((P, d + 1), jnp.float32)
+    # Pass 2: weighted MLS reconstruction (:209-260) with the final
+    # states. The (d+1)x(d+1) normal equations are accumulated and
+    # solved COMPONENTWISE on (P,) arrays (unrolled Cramer's rule):
+    # materializing (P, 4, 4) arrays pads ~32x on TPU and exhausted HBM
+    # at large particle counts.
+    m = d + 1
+    XtX = [[jnp.zeros((P,), jnp.float32) for _ in range(m)] for _ in range(m)]
+    XtY = [jnp.zeros((P,), jnp.float32) for _ in range(m)]
     for off in offs:
         s, dist, wo, dpos = node_data(off)
         valid = s != 0
@@ -187,23 +192,44 @@ def gather_cdf(p_x, p_states, grid_dist, grid_rid, grid_states, num_rigids: int,
         use = valid & (same | single_neg)
         sign = jnp.where(same, 1.0, -1.0)
         wgt = jnp.where(use, wo, 0.0)
-        xp = jnp.concatenate([-dpos, jnp.ones((P, 1), dpos.dtype)], -1)
-        XtX = XtX + wgt[:, None, None] * xp[:, :, None] * xp[:, None, :]
-        y = jnp.concatenate([-dpos * dist[:, None], dist[:, None]], -1)
-        XtY = XtY + (wgt * sign)[:, None] * y
+        xp = [-dpos[:, k] for k in range(d)] + [jnp.ones((P,), dpos.dtype)]
+        for i in range(m):
+            for j in range(i, m):
+                XtX[i][j] = XtX[i][j] + wgt * xp[i] * xp[j]
+        ws = wgt * sign * dist
+        for i in range(m):
+            XtY[i] = XtY[i] + ws * xp[i]
+    for i in range(m):
+        for j in range(i):
+            XtX[i][j] = XtX[j][i]
 
-    det = jnp.linalg.det(XtX)
+    def det_ll(M):
+        n = len(M)
+        if n == 1:
+            return M[0][0]
+        acc = None
+        for j in range(n):
+            minor = [[M[r][c] for c in range(n) if c != j] for r in range(1, n)]
+            term = M[0][j] * det_ll(minor)
+            if j % 2:
+                term = -term
+            acc = term if acc is None else acc + term
+        return acc
+
+    det = det_ll(XtX)
     ok = (jnp.abs(det) > _GUARD[d]) & (states != 0)
-    eye = jnp.eye(d + 1, dtype=jnp.float32)
-    XtX_safe = jnp.where(ok[:, None, None], XtX, eye)
-    r = jnp.linalg.solve(XtX_safe, XtY[..., None])[..., 0]
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    r = []
+    for j in range(m):  # Cramer: replace column j with XtY
+        Mj = [[XtY[rr] if cc == j else XtX[rr][cc] for cc in range(m)] for rr in range(m)]
+        r.append(det_ll(Mj) * inv_det)
+
     near_b = ok
-    bdist = jnp.where(ok, r[:, d] * cfg.dx, 0.0)
-    g = r[:, :d]
-    glen2 = jnp.sum(g * g, -1)
-    bnormal = jnp.where(
-        (ok & (glen2 > 1e-4))[:, None],
-        g / jnp.maximum(jnp.sqrt(glen2), 1e-30)[:, None],
-        0.0,
+    bdist = jnp.where(ok, r[d] * cfg.dx, 0.0)
+    glen2 = sum(r[k] * r[k] for k in range(d))
+    gok = ok & (glen2 > 1e-4)
+    gscale = 1.0 / jnp.maximum(jnp.sqrt(glen2), 1e-30)
+    bnormal = jnp.stack(
+        [jnp.where(gok, r[k] * gscale, 0.0) for k in range(d)], -1
     )
     return states, bdist, bnormal, near_b
