@@ -330,6 +330,15 @@ class MPM:
         self._blocked_cap = None
 
         if self.bodies is not None:
+            use_blocked = self.optimized
+            if use_blocked is None:
+                use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
+            if use_blocked and cfg.dim == 3:
+                return self._build_cpic_blocked_jit(
+                    n_substeps,
+                    self._active_block_cap(),
+                    self._near_budget_cap(),
+                )
             from taichi_mpm_tpu.rigid.cpic import cpic_substep
 
             scene = self.rigid_scene
@@ -382,6 +391,35 @@ class MPM:
         occ = len(dil)
         return int(min(nbt, -(-max(64, int(1.5 * occ)) // 64) * 64))
 
+    def _near_budget_cap(self) -> int:
+        """Static capacity of the compacted near-rigid particle set;
+        grows by re-jit on overflow like the block cap."""
+        return int(min(self.particles.capacity,
+                       -(-max(1024, self.particles.capacity // 4) // 256) * 256))
+
+    def _build_cpic_blocked_jit(self, n_substeps: int, cap: int, near: int):
+        cfg = self.cfg
+        scene = self.rigid_scene
+        from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_substep
+
+        self._blocked_cap = cap
+        self._near_budget = near
+
+        def fn(p, bodies, t):
+            def body(carry, _):
+                pp, bb, tt = carry
+                (pp, bb, tt), n_act, n_near = cpic_blocked_substep(
+                    pp, bb, tt, cfg, scene, cfg.base_dt, cap, near
+                )
+                return (pp, bb, tt), (n_act, n_near)
+
+            (p, bodies, t), (n_acts, n_nears) = jax.lax.scan(
+                body, (p, bodies, t), None, length=n_substeps
+            )
+            return p, bodies, t, jnp.max(n_acts), jnp.max(n_nears)
+
+        return jax.jit(fn)
+
     def _build_blocked_jit(self, n_substeps: int, cap: int):
         cfg = self.cfg
         colliders = tuple(self.colliders)
@@ -409,7 +447,32 @@ class MPM:
             self._frame_jit = self._build_jit(n_sub)
             self._frame_substeps = n_sub
         assert n_sub == self._frame_substeps, "frame_dt changed mid-run"
-        if self.bodies is not None:
+        if self.bodies is not None and getattr(self, "_blocked_cap", None):
+            from taichi_mpm_tpu.ops.blocked import total_blocks_padded
+
+            nbt = total_blocks_padded(self.cfg)
+            while True:
+                p2, b2, t2, n_act, n_near = self._frame_jit(
+                    self.particles, self.bodies, self.t
+                )
+                n_act, n_near = int(n_act), int(n_near)
+                grow_cap = n_act > self._blocked_cap and self._blocked_cap < nbt
+                grow_near = n_near > self._near_budget and (
+                    self._near_budget < self.particles.capacity
+                )
+                if not (grow_cap or grow_near):
+                    self.particles, self.bodies, self.t = p2, b2, t2
+                    break
+                cap = self._blocked_cap
+                near = self._near_budget
+                if grow_cap:
+                    cap = int(min(nbt, -(-2 * n_act // 64) * 64))
+                if grow_near:
+                    near = int(min(self.particles.capacity, -(-2 * n_near // 256) * 256))
+                self._frame_jit = self._build_cpic_blocked_jit(
+                    self._frame_substeps, cap, near
+                )
+        elif self.bodies is not None:
             self.particles, self.bodies, self.t = self._frame_jit(
                 self.particles, self.bodies, self.t
             )

@@ -207,7 +207,7 @@ def build_page_map_full(keys, cfg: SimConfig, K: int):
     origin = _decode_block_origin(jnp.minimum(keys, nb_total - 1), cfg)
     return dict(
         ids=ids, n_act=n_act, s_arr=s_arr, e_arr=e_arr, nbr=nbr,
-        slot_keys=slot_keys, origin=origin,
+        slot_keys=slot_keys, origin=origin, slot_map=slot_map,
     )
 
 

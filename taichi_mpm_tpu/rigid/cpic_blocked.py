@@ -1,0 +1,405 @@
+"""CPIC on the blocked performance path.
+
+The reference dispatches per block: blocks near rigid bodies take the
+slow CPIC branch, all others the fast SIMD path (update_rigid_page_map,
+mpm.cpp:1021-1076; dispatch at transfer.cpp:570-577). The TPU analog
+used here is *compute-then-correct*:
+
+  1. ALL particles run the plain blocked Pallas P2G/G2P (no coloring);
+  2. particles near rigid surfaces (affinity bits or tagged stencil
+     nodes) are COMPACTED into a fixed-budget index set;
+  3. a sparse XLA correction pass over only that set
+     - subtracts their contributions at color-incompatible nodes from
+       the node records (and converts them into rigid impulses), and
+     - replaces their gathered contributions from incompatible nodes by
+       the CPIC ghost values,
+     using exactly the same weights and fused-force values as the plain
+     path, so the combination is algebraically identical to the
+     reference's colored transfers (transfer.cpp:222-254, 620-682).
+
+Cost: plain-path speed for the bulk + O(near-rigid particles) for the
+CPIC physics — the reference's "rigid block fraction" scaling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from taichi_mpm_tpu.config import SimConfig
+from taichi_mpm_tpu.core.levelset import friction_project
+from taichi_mpm_tpu.core.state import Particles
+from taichi_mpm_tpu.core.transfer import g2p_finish, stencil_offsets
+from taichi_mpm_tpu.materials import models as materials
+from taichi_mpm_tpu.math.kernels import bspline_weights, inv_D
+from taichi_mpm_tpu.ops import blocked
+from taichi_mpm_tpu.ops.blocked import sort_particles
+from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
+from taichi_mpm_tpu.ops.p2g_pallas import CHUNK, p2g_blocked
+from taichi_mpm_tpu.ops.substep import (
+    _round_up,
+    build_page_map_full,
+    grid_update_flat,
+    prep_p2g,
+)
+from taichi_mpm_tpu.rigid import cdf
+from taichi_mpm_tpu.rigid.body import (
+    accumulate_impulses,
+    apply_impulses,
+    boundary_particle_world,
+    velocity_at,
+)
+from taichi_mpm_tpu.rigid.cpic import _compatible, _friction_of
+from taichi_mpm_tpu.utils import mv as mv_small, outer
+
+
+def _node_state_lookup(idx, grid_states, grid_rid, cfg: SimConfig):
+    """Gather packed color tags + owner rigid id at global node indices
+    idx (..., 3)."""
+    nodes = cfg.grid_nodes
+    inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
+    lin = (idx[..., 0] * nodes[1] + idx[..., 1]) * nodes[2] + idx[..., 2]
+    lin = jnp.where(inb, lin, 0)
+    s = jnp.where(inb, grid_states[lin], 0)
+    rid = jnp.where(inb, grid_rid[lin], -1)
+    return s, rid, inb
+
+
+def _rec_slot_lane(idx, slot_map, cfg: SimConfig):
+    """Global node index (..., 3) -> (record slot, 64-lane index)."""
+    nbp = blocked.num_blocks_padded(cfg)
+    total = nbp[0] * nbp[1] * nbp[2]
+    b = idx // 4
+    l = idx % 4
+    bid = (b[..., 0] * nbp[1] + b[..., 1]) * nbp[2] + b[..., 2]
+    bid = jnp.clip(bid, 0, total)
+    slot = slot_map[bid]
+    lane = l[..., 0] * 16 + l[..., 1] * 4 + l[..., 2]
+    return slot, lane
+
+
+def compact_near_rigid(p: Particles, grid_states, cfg: SimConfig, budget: int):
+    """Fixed-budget compaction of particles near rigid surfaces: blocks
+    containing tagged nodes are dilated by one block (conservative
+    superset of the exact per-stencil test), then each particle makes
+    ONE block-table lookup — the rigid page map (mpm.cpp:1021-1076 /
+    rigid_transfer.cpp:147-149) rebuilt functionally."""
+    nodes = cfg.grid_nodes
+    nbp = blocked.num_blocks_padded(cfg)
+    tag = (grid_states != 0).reshape(nodes)
+    padx = 4 * nbp[0] - nodes[0]
+    pady = 4 * nbp[1] - nodes[1]
+    padz = 4 * nbp[2] - nodes[2]
+    tag = jnp.pad(tag, ((0, padx), (0, pady), (0, padz)))
+    core = jnp.any(
+        tag.reshape(nbp[0], 4, nbp[1], 4, nbp[2], 4), axis=(1, 3, 5)
+    )
+    for ax in range(3):
+        lo = jnp.concatenate(
+            [core.take(jnp.arange(1, core.shape[ax]), axis=ax),
+             jnp.zeros_like(core.take(jnp.arange(0, 1), axis=ax))], axis=ax
+        )
+        hi = jnp.concatenate(
+            [jnp.zeros_like(core.take(jnp.arange(0, 1), axis=ax)),
+             core.take(jnp.arange(0, core.shape[ax] - 1), axis=ax)], axis=ax
+        )
+        core = core | lo | hi
+    touch = core.reshape(-1)[blocked.block_id_of(p.x, cfg)]
+    coarse = p.active & (touch | (p.states != 0))
+    order = jnp.argsort(jnp.where(coarse, 0, 1), stable=True).astype(jnp.int32)
+    n_coarse = jnp.sum(coarse.astype(jnp.int32))
+    B1 = min(4 * budget, p.capacity)
+    idx1 = order[:B1]
+    valid1 = jnp.arange(B1, dtype=jnp.int32) < jnp.minimum(n_coarse, B1)
+
+    # stage 2: exact per-stencil test on the coarse subset only (the
+    # expensive 27 node gathers run over B1, not the whole P)
+    pos = p.x[idx1] * cfg.inv_dx
+    base, _, _ = bspline_weights(cfg.kernel_order, pos)
+    exact = jnp.zeros((B1,), bool)
+    for off in stencil_offsets(cfg.dim, cfg.kernel_order):
+        nidx = base + jnp.asarray(off, jnp.int32)
+        inb = jnp.all((nidx >= 0) & (nidx < jnp.asarray(nodes)), -1)
+        lin = (nidx[..., 0] * nodes[1] + nidx[..., 1]) * nodes[2] + nidx[..., 2]
+        s = jnp.where(inb, grid_states[jnp.where(inb, lin, 0)], 0)
+        exact = exact | (s != 0)
+    exact = valid1 & (exact | (p.states[idx1] != 0))
+
+    order2 = jnp.argsort(jnp.where(exact, 0, 1), stable=True).astype(jnp.int32)
+    n_exact = jnp.sum(exact.astype(jnp.int32))
+    idx = idx1[order2[:budget]]
+    valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(n_exact, budget)
+    # conservative overflow report: if the coarse stage overflowed, some
+    # exact-near particles may have been missed entirely
+    n_near = jnp.where(n_coarse > B1, n_coarse, n_exact)
+    return idx, valid, n_near
+
+
+def _near_values(p: Particles, idx, cfg: SimConfig, dt):
+    """The plain path's fused P2G values for the compacted subset: the
+    same vel/affine/force formulas as prep_p2g, gathered at idx."""
+    invD = inv_D(cfg.kernel_order)
+    F = p.F[idx]
+    C = p.C[idx]
+    aux = p.aux[idx]
+    params = p.params[idx]
+    vol = p.vol[idx]
+    mat = p.mat[idx]
+    mass = jnp.where(p.active[idx], p.mass[idx], 0.0)
+    vel = p.v[idx]
+    if cfg.particle_gravity:
+        vel = vel + jnp.asarray(cfg.gravity, vel.dtype) * dt
+    force = materials.dispatch_force(cfg.active_materials, mat, F, aux, params, vol)
+    force = jnp.where(p.active[idx][:, None, None], force, 0.0)
+    aff = invD * mass[:, None, None] * C - (invD * cfg.inv_dx * dt) * force
+    aff = jnp.where(p.active[idx][:, None, None], aff, 0.0)
+    return vel, mass, aff, force
+
+
+def p2g_correction(
+    p, idx, valid, pm, grid_states, grid_rid, bodies, rec, cfg: SimConfig, dt
+):
+    """Undo the plain scatter at color-incompatible nodes for the
+    near-rigid subset; turn it into rigid impulses."""
+    K = pm["ids"].shape[0]
+    R = bodies.num
+    smask = cdf.state_mask(R)
+    d = cfg.dim
+
+    x = p.x[idx]
+    pstates = p.states[idx]
+    bnormal = p.bnormal[idx]
+    vel, mass, aff, force = _near_values(p, idx, cfg, dt)
+    mv_p = mass[:, None] * vel
+
+    pos = x * cfg.inv_dx
+    base, w, dw = bspline_weights(cfg.kernel_order, pos)
+
+    flat = rec.reshape(-1)
+    pad = jnp.zeros((256,), flat.dtype)  # scratch row for sentinel slots
+    flat = jnp.concatenate([flat, pad])
+    J_tot = jnp.zeros((R, d), jnp.float32)
+    tau_tot = jnp.zeros((R, 1 if d == 2 else 3), jnp.float32)
+
+    for off in stencil_offsets(d, cfg.kernel_order):
+        nidx = base + jnp.asarray(off, jnp.int32)
+        dpos = pos - nidx.astype(pos.dtype)
+        wo = w[:, 0, off[0]]
+        for k in range(1, d):
+            wo = wo * w[:, k, off[k]]
+        gradw = []
+        for k in range(d):
+            g = dw[:, k, off[k]]
+            for j in range(d):
+                if j != k:
+                    g = g * w[:, j, off[j]]
+            gradw.append(g * cfg.inv_dx)
+        gradw = jnp.stack(gradw, -1)
+
+        s, nrid, inb = _node_state_lookup(nidx, grid_states, grid_rid, cfg)
+        compat = _compatible(s, pstates, smask)
+        hit = valid & inb & (~compat) & (nrid >= 0)
+
+        # subtract the plain scatter w*(mv + A dpos, m)
+        mom = mv_p + mv_small(aff, dpos)
+        slot, lane = _rec_slot_lane(nidx, pm["slot_map"], cfg)
+        lin_base = jnp.where(slot < K, slot * 256, K * 256)
+        for c in range(3):
+            flat = flat.at[lin_base + c * 64 + lane].add(
+                jnp.where(hit, -wo * mom[:, c], 0.0)
+            )
+        flat = flat.at[lin_base + 192 + lane].add(jnp.where(hit, -wo * mass, 0.0))
+
+        # rigid impulse (transfer.cpp:241-252)
+        rid_safe = jnp.clip(nrid, 0, R - 1)
+        xg = nidx.astype(jnp.float32) * cfg.dx
+        rigid_v = velocity_at(bodies, rid_safe, xg)
+        fric = _friction_of(bodies, nrid, pstates)
+        dv = vel - friction_project(vel, rigid_v, bnormal, fric)
+        impulse = (mass * wo)[:, None] * dv + dt * mv_small(force, gradw)
+        Jo, tauo = accumulate_impulses(bodies, rid_safe, impulse, xg, hit)
+        J_tot = J_tot + Jo
+        tau_tot = tau_tot + tauo
+
+    return flat[:-256].reshape(rec.shape), J_tot, tau_tot
+
+
+def g2p_correction(
+    p, idx, valid, pm, grid_states, grid_rid, bodies, vrec, cfg: SimConfig, dt
+):
+    """Per-offset corrections for the near-rigid subset: replace the
+    gathered grid velocity at incompatible nodes by the CPIC ghost value
+    (transfer.cpp:620-646). Returns (dv (B,3), dB (B,3,3), rid_last)."""
+    K = pm["ids"].shape[0]
+    R = bodies.num
+    smask = cdf.state_mask(R)
+    d = cfg.dim
+
+    x = p.x[idx]
+    pv = p.v[idx]
+    pstates = p.states[idx]
+    bnormal = p.bnormal[idx]
+    near_b = p.near_b[idx]
+
+    pos = x * cfg.inv_dx
+    base, w, _ = bspline_weights(cfg.kernel_order, pos)
+    vflat = jnp.concatenate([vrec.reshape(-1), jnp.zeros((192,), vrec.dtype)])
+
+    B = idx.shape[0]
+    dv = jnp.zeros((B, d), jnp.float32)
+    dB = jnp.zeros((B, d, d), jnp.float32)
+    rid_last = jnp.full((B,), -1, jnp.int32)
+
+    for off in stencil_offsets(d, cfg.kernel_order):
+        nidx = base + jnp.asarray(off, jnp.int32)
+        dpos = pos - nidx.astype(pos.dtype)
+        wo = w[:, 0, off[0]]
+        for k in range(1, d):
+            wo = wo * w[:, k, off[k]]
+
+        s, nrid, inb = _node_state_lookup(nidx, grid_states, grid_rid, cfg)
+        compat = _compatible(s, pstates, smask)
+        incompat = valid & inb & (~compat)
+
+        slot, lane = _rec_slot_lane(nidx, pm["slot_map"], cfg)
+        lin_base = jnp.where(slot < K, slot * 192, K * 192)
+        gv = jnp.stack(
+            [vflat[lin_base + c * 64 + lane] for c in range(3)], -1
+        )
+
+        rid_safe = jnp.clip(nrid, 0, R - 1)
+        xg = nidx.astype(jnp.float32) * cfg.dx
+        v_g = jnp.where((nrid >= 0)[:, None], velocity_at(bodies, rid_safe, xg), 0.0)
+        fric = _friction_of(bodies, nrid, pstates)
+        fake_v = jnp.where(
+            near_b[:, None],
+            friction_project(pv, v_g, bnormal, fric)
+            + bnormal * (dt * cfg.dx * cfg.pushing_force),
+            pv,
+        )
+        delta = jnp.where(incompat[:, None], fake_v - gv, 0.0)
+        dv = dv + wo[:, None] * delta
+        dB = dB + outer(wo[:, None] * delta, dpos)
+        rid_last = jnp.where(incompat & (nrid >= 0), nrid, rid_last)
+
+    return dv, dB, rid_last
+
+
+def cpic_blocked_substep(
+    p: Particles, bodies, t, cfg: SimConfig, scene, dt, K: int,
+    near_budget: int, interpret: bool = False,
+):
+    """One coupled substep: plain blocked kernels + sparse CPIC
+    corrections. Returns ((p, bodies, t+dt), n_act, n_near)."""
+    from taichi_mpm_tpu.core.solver import clear_boundary_particles
+    from taichi_mpm_tpu.core.transfer import particle_collision_resolution
+    from taichi_mpm_tpu.rigid import articulation as artic
+    from taichi_mpm_tpu.rigid import collision as coll
+    from taichi_mpm_tpu.rigid.body import advance
+
+    R = bodies.num
+    n = p.capacity
+    pw = _round_up(n, CHUNK)
+    near_budget = min(near_budget, n)
+
+    # -- rigid prologue (same order as cpic_substep / reference substep)
+    if scene.collision is not None:
+        dirs = jnp.asarray(coll.icosphere_directions())
+        bodies = coll.rigidify(bodies, scene.hull_verts, scene.collision, dirs, dt)
+    if scene.articulations:
+        bodies = artic.articulate(bodies, scene.articulations, dt)
+
+    xb, _, elem_w = boundary_particle_world(
+        bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal, scene.bp_elem
+    )
+    grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
+        xb, elem_w, scene.bp_rid, R, cfg
+    )
+
+    # CDF gather restricted to the compacted near-rigid subset — the
+    # particle-level analog of the reference's rigid_page_map skip
+    # (rigid_transfer.cpp:147-149). Particles outside the set keep
+    # zero/old state correctly: any particle carrying affinity bits is
+    # in the set by construction, so leaving the neighborhood clears it.
+    idx, valid, n_near = compact_near_rigid(p, grid_states, cfg, near_budget)
+    st_c, bd_c, bn_c, nb_c = cdf.gather_cdf(
+        p.x[idx], p.states[idx], grid_dist, grid_rid, grid_states, R, cfg
+    )
+    n = p.capacity
+    states = jnp.zeros((n,), jnp.int32).at[idx].set(jnp.where(valid, st_c, 0))
+    bdist = jnp.zeros((n,), jnp.float32).at[idx].set(jnp.where(valid, bd_c, 0.0))
+    bnormal = jnp.zeros((n, 3), jnp.float32).at[idx].set(
+        jnp.where(valid[:, None], bn_c, 0.0)
+    )
+    near_b = jnp.zeros((n,), bool).at[idx].set(valid & nb_c)
+    p = dataclasses.replace(
+        p, states=states, bdist=bdist, bnormal=bnormal, near_b=near_b
+    )
+
+    # -- plain blocked P2G over all particles
+    p, keys, perm = sort_particles(p, cfg)
+    idx = jnp.argsort(perm, stable=True).astype(jnp.int32)[idx]  # re-map to sorted order
+    pm = build_page_map_full(keys, cfg, K)
+    pdata = prep_p2g(p, keys, cfg, dt, origin=pm["origin"])
+    tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
+    rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+
+    # -- CPIC P2G correction on the compacted near-rigid subset
+    rec, J1, tau1 = p2g_correction(
+        p, idx, valid, pm, grid_states, grid_rid, bodies, rec, cfg, dt
+    )
+    bodies = apply_impulses(bodies, J1, tau1)
+
+    if scene.colliders:
+        bodies = coll.rigid_levelset_collision(
+            bodies, xb, scene.bp_rid, scene.colliders, t, dt
+        )
+
+    vrec = grid_update_flat(rec, pm["ids"], cfg, scene.colliders, t, dt)
+    gtiles = blocked.windows_mm(vrec, pm["nbr"])
+
+    # -- plain blocked G2P over all particles
+    keys2d = jnp.pad(
+        pm["slot_keys"][None, :], ((0, 0), (0, pw - n)), constant_values=K
+    )
+    posg = jnp.pad(pdata[13:16, :pw], ((0, 5), (0, 0)))
+    pout = g2p_blocked(keys2d, posg, gtiles, jnp.asarray([K], jnp.int32),
+                       interpret=interpret)
+    pout = pout[:, :n].T
+    v_new = jnp.where(p.active[:, None], pout[:, 0:3], 0.0)
+    b_new = jnp.where(p.active[:, None, None], pout[:, 3:12].reshape(n, 3, 3), 0.0)
+
+    # -- CPIC G2P correction
+    dv, dB, rid_last_c = g2p_correction(
+        p, idx, valid, pm, grid_states, grid_rid, bodies, vrec, cfg, dt
+    )
+    v_new = v_new.at[idx].add(jnp.where(valid[:, None], dv, 0.0))
+    b_new = b_new.at[idx].add(jnp.where(valid[:, None, None], dB, 0.0))
+    rid_last = jnp.full((n,), -1, jnp.int32).at[idx].set(
+        jnp.where(valid, rid_last_c, -1)
+    )
+
+    p = g2p_finish(p, v_new, b_new, cfg, dt, zero_C=p.near_b)
+
+    # -- boundary penetration penalty (transfer.cpp:671-682)
+    pen = (
+        p.active & p.near_b
+        & (p.bdist < -0.05 * cfg.dx) & (p.bdist > -0.3 * cfg.dx)
+    )
+    dvp = p.bdist[:, None] * p.bnormal * cfg.penalty
+    p = dataclasses.replace(p, v=jnp.where(pen[:, None], p.v - dvp, p.v))
+    J2, tau2 = accumulate_impulses(
+        bodies, jnp.clip(rid_last, 0, R - 1), dvp * p.mass[:, None], p.x,
+        pen & (rid_last >= 0),
+    )
+    bodies = apply_impulses(bodies, J2, tau2)
+
+    if cfg.particle_collision:
+        p = particle_collision_resolution(p, cfg, scene.colliders, t)
+    if cfg.clean_boundary:
+        p = clear_boundary_particles(p, cfg)
+
+    bodies = advance(bodies, t, dt, scene.pos_funcs, scene.rot_funcs, cfg.gravity)
+    return (p, bodies, t + dt), pm["n_act"], n_near

@@ -283,3 +283,60 @@ class TestArticulations:
         out = articulate(bodies, scene.articulations, 1e-4, iterations=50)
         rel = float(out.omega[1, 2] - out.omega[2, 2])
         assert np.isclose(rel, 5.0, rtol=1e-2)
+
+
+class TestCPICBlocked:
+    def test_matches_oracle_cpic(self):
+        """The compute-then-correct blocked CPIC path must match the
+        oracle colored transfers (particles AND rigid states)."""
+        import dataclasses as dc
+
+        import jax
+
+        from taichi_mpm_tpu.ops.blocked import sort_particles
+        from taichi_mpm_tpu.rigid.cpic import cpic_substep
+        from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_substep
+        from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+        rng = np.random.default_rng(3)
+        sim = MPM(res=(16, 16, 16), base_delta_t=2e-4, gravity=(0, -10.0, 0),
+                  penalty=1e3)
+        pos = rng.uniform(0.3, 0.7, size=(200, 3)).astype(np.float32)
+        sim.add_particles("jelly", pos=pos, vel=(0, -0.5, 0), E=1e4, nu=0.3,
+                          density=1000)
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.25, half_v=0.25, axis=1),
+            scripted_position=lambda t: (0.5, 0.45, 0.5),
+            scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+            codimensional=True, friction=0.2,
+        )
+        sim._finalize()
+        cfg, scene = sim.cfg, sim.rigid_scene
+        p0, _, _ = sort_particles(sim.particles, cfg)
+        b0 = sim.bodies
+        dt = cfg.base_dt
+
+        p_o, b_o = p0, b0
+        p_b, b_b = p0, b0
+        t = jnp.float32(0.0)
+        for _ in range(4):
+            p_o, b_o, _ = cpic_substep(p_o, b_o, t, cfg, scene, dt)
+            (p_b, b_b, _), n_act, n_near = cpic_blocked_substep(
+                p_b, b_b, t, cfg, scene, dt, K=96, near_budget=256,
+                interpret=True,
+            )
+            assert int(n_near) <= 256 and int(n_act) <= 96
+            p_o, _, _ = sort_particles(p_o, cfg)
+            p_b, _, _ = sort_particles(p_b, cfg)
+            t = t + dt
+
+        np.testing.assert_allclose(np.asarray(p_b.x), np.asarray(p_o.x), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(p_b.v), np.asarray(p_o.v), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(p_b.F), np.asarray(p_o.F), atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(p_b.states), np.asarray(p_o.states))
+        np.testing.assert_allclose(
+            np.asarray(b_b.omega), np.asarray(b_o.omega), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_b.vel), np.asarray(b_o.vel), atol=1e-5
+        )
