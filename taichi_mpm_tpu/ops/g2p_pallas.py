@@ -5,16 +5,20 @@ TPU-native replacement for the reference's SIMD blocked resample
 512-particle *window* of the block-sorted particle array — so every
 input/output block is a static, aligned BlockSpec tile and adjacent
 programs can never collide on writes. Within a window the kernel walks
-the (few) runs of equal block id, fetches each run's (24,128) grid tile
-[(c,i), (j,k)] with a manual DMA, and reconstructs for the masked lanes
+the (few) runs of equal block id and reconstructs for the masked lanes
 
     v_p = sum_n w_n gv_n
     B_p = sum_n w_n gv_n (pos - node)^T   (APIC affine, grid units)
 
 with one MXU matmul per run: the tile is stacked with its y/z
-node-moment-scaled copies (72 rows), contracted against the tensor-
+node-moment-scaled copies (63 rows), contracted against the tensor-
 product yz-weights, and finished with x-axis weight folds — the same
 node-coordinate moment decomposition as the P2G kernel, transposed.
+
+The FIRST run's grid tile (the only run for most windows at ~8 ppc) is
+delivered through a scalar-prefetched BlockSpec index map, so Mosaic
+double-buffers it across programs automatically; only the rare extra
+runs of multi-block windows pay a manual in-kernel DMA.
 """
 
 from __future__ import annotations
@@ -41,7 +45,10 @@ GTLANES = 128  # padded tile lanes (49 live)
 NOUTP = 16  # output rows per particle: v(3) B(9) pad(4)
 
 
-def _g2p_kernel(dims_ref, keys_ref, posg_ref, gt_hbm, out_ref, tbuf, sem_t):
+def _g2p_kernel(
+    dims_ref, first_ref, keys_ref, posg_ref, gt_first, gt_hbm, out_ref,
+    tbuf, sem_t,
+):
     K = dims_ref[0]  # sentinel slot id = number of active slots
 
     kb2 = keys_ref[:]  # (1, CHUNK) int32 active-slot ids, sorted; K = inactive
@@ -52,64 +59,43 @@ def _g2p_kernel(dims_ref, keys_ref, posg_ref, gt_hbm, out_ref, tbuf, sem_t):
     jn49 = (lane49 // TILE - 1).astype(jnp.float32)
     kn49 = (lane49 % TILE - 1).astype(jnp.float32)
 
-    def cond(carry):
-        r, acc = carry
-        return r < CHUNK
+    px = pos[0:1, :]
+    py = pos[1:2, :]
+    pz = pos[2:3, :]
+    wx = _axis_weights_T(px)  # (8, CHUNK)
+    wyz_base = _wyzT(py, pz)  # (49, CHUNK)
+    irow = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0).astype(jnp.float32)
+        - 1.0
+    )
+    wx1 = wx * irow
 
-    def body(carry):
-        r, acc = carry
-        # current run's slot id: min key among rows >= r
-        b_cur = jnp.min(jnp.where(lane1 >= r, kb2, K))
-        valid = b_cur < K
-        b_dma = jnp.minimum(b_cur, K - 1)
-
-        cp = pltpu.make_async_copy(gt_hbm.at[b_dma], tbuf, sem_t)
-        cp.start()
-        cp.wait()
-
-        px = pos[0:1, :]
-        py = pos[1:2, :]
-        pz = pos[2:3, :]
-
+    def run_contrib(gt21, b_cur, valid):
         mask = ((kb2 == b_cur) & valid).astype(jnp.float32)
-        wyzT = _wyzT(py, pz) * mask  # (49, CHUNK)
-        wx = _axis_weights_T(px)  # (8, CHUNK)
-
-        gt21 = tbuf[0:NCI, 0:NJK]  # (21, 49)
-        gt72 = jnp.concatenate([gt21, gt21 * jn49, gt21 * kn49], 0)  # (63->72?)
+        wyzT = wyz_base * mask  # (49, CHUNK)
+        gt63 = jnp.concatenate([gt21, gt21 * jn49, gt21 * kn49], 0)
         s_t = jax.lax.dot_general(
-            gt72,
-            wyzT,
+            gt63, wyzT,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_HI,
-        )  # (63, CHUNK): rows [(c,i) plain, (c,i) y-moment, (c,i) z-moment]
-
-        irow = (
-            jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0).astype(
-                jnp.float32
-            )
-            - 1.0
-        )
-        wx1 = wx * irow
+        )  # (63, CHUNK)
 
         def fold(block_off, weights, c):
             o = block_off + c * TILE
             out = weights[0:1, :] * s_t[o : o + 1, :]
             for i in range(1, TILE):
                 out = out + weights[i : i + 1, :] * s_t[o + i : o + i + 1, :]
-            return out  # (1, CHUNK)
+            return out
 
-        v = jnp.concatenate([fold(0, wx, c) for c in range(3)], 0)  # (3,CH)
+        v = jnp.concatenate([fold(0, wx, c) for c in range(3)], 0)
         xm = jnp.concatenate([fold(0, wx1, c) for c in range(3)], 0)
         ym = jnp.concatenate([fold(NCI, wx, c) for c in range(3)], 0)
         zm = jnp.concatenate([fold(2 * NCI, wx, c) for c in range(3)], 0)
-
-        bc0 = px * v - xm  # B column 0, rows = c
+        bc0 = px * v - xm
         bc1 = py * v - ym
         bc2 = pz * v - zm
-
-        contrib = jnp.concatenate(
+        return jnp.concatenate(
             [
                 v,
                 bc0[0:1], bc1[0:1], bc2[0:1],
@@ -119,16 +105,33 @@ def _g2p_kernel(dims_ref, keys_ref, posg_ref, gt_hbm, out_ref, tbuf, sem_t):
             ],
             axis=0,
         )  # (16, CHUNK)
-        acc = acc + contrib
 
-        # advance to the first row past this run
+    # run 0: keys are sorted, so the first run's slot is keys[0, 0] and
+    # its tile arrived through the pipelined gt_first block
+    b0 = kb2[0, 0]
+    valid0 = b0 < K
+    acc = run_contrib(gt_first[0:NCI, 0:NJK], b0, valid0)
+    r1 = jnp.where(valid0, jnp.sum((kb2 <= b0).astype(jnp.int32)), CHUNK)
+
+    # remaining runs (rare): manual DMA per run
+    def cond(carry):
+        r, acc = carry
+        return r < CHUNK
+
+    def body(carry):
+        r, acc = carry
+        b_cur = jnp.min(jnp.where(lane1 >= r, kb2, K))
+        valid = b_cur < K
+        b_dma = jnp.minimum(b_cur, K - 1)
+        cp = pltpu.make_async_copy(gt_hbm.at[b_dma], tbuf, sem_t)
+        cp.start()
+        cp.wait()
+        acc = acc + run_contrib(tbuf[0:NCI, 0:NJK], b_cur, valid)
         r_next = jnp.sum((kb2 <= b_cur).astype(jnp.int32))
         r_next = jnp.where(valid, r_next, CHUNK)
         return r_next, acc
 
-    _, acc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((NOUTP, CHUNK), jnp.float32))
-    )
+    _, acc = jax.lax.while_loop(cond, body, (r1, acc))
     out_ref[:] = acc
 
 
@@ -142,19 +145,27 @@ def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
       posg: (8, Pw) f32 rows [x, y, z] in *block-local grid units*
         (pos - 4*block_coord, same frame as the P2G operand).
       gtiles: (K, 24, 128) f32 grid tiles [(c,i), (j,k)] from
-        extract_tiles_active (or extract_tiles for the dense path).
+        windows_mm (or the dense path).
       nb_dims: (1,) int32 [K] (scalar-prefetched sentinel).
 
     Returns (16, Pw) f32 rows [v(3), B row-major(9), 0 x4].
     """
     pw = keys.shape[1]
     nwin = pw // CHUNK
+    K = gtiles.shape[0]
+    # first slot per window, clamped for the sentinel (masked in-kernel)
+    first = jnp.minimum(keys[0, ::CHUNK], K - 1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nwin,),
         in_specs=[
             pl.BlockSpec((1, CHUNK), lambda q, *_: (0, q), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CHUNK), lambda q, *_: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, GTROWS, GTLANES),
+                lambda q, dims, first: (first[q], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -165,12 +176,18 @@ def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+
+    def kernel(dims_ref, first_ref, keys_ref, posg_ref, gt_first_ref, gt_hbm,
+               out_ref, tbuf, sem_t):
+        _g2p_kernel(dims_ref, first_ref, keys_ref, posg_ref,
+                    gt_first_ref[0], gt_hbm, out_ref, tbuf, sem_t)
+
     return pl.pallas_call(
-        _g2p_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NOUTP, pw), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(nb_dims, keys, posg, gtiles)
+    )(nb_dims, first, keys, posg, gtiles, gtiles)
