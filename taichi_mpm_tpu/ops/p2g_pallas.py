@@ -76,13 +76,58 @@ def _wyzT(py_row, pz_row):
     )
 
 
-def _p2g_kernel(s_ref, e_ref, pdata_hbm, out_ref, pbuf, sem_p):
+def _chunk_contrib(pd, s, e, gstart):
+    """One chunk's (112, 49) tile contribution; lanes outside [s, e)
+    masked out (gstart = the chunk's global start index)."""
+    gidx = gstart + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    mask = ((gidx >= s) & (gidx < e)).astype(jnp.float32)
+
+    wyzT = _wyzT(pd[14:15, :], pd[15:16, :]) * mask  # (49, CHUNK)
+    wx = _axis_weights_T(pd[13:14, :])  # (8, CHUNK)
+
+    mv = pd[0:3, :]
+    m = pd[3:4, :]
+    A = pd[4:13, :]  # row-major A00..A22
+    px, py, pz = pd[13:14, :], pd[14:15, :], pd[15:16, :]
+    c0 = mv + jnp.concatenate(
+        [
+            A[0:1] * px + A[1:2] * py + A[2:3] * pz,
+            A[3:4] * px + A[4:5] * py + A[5:6] * pz,
+            A[6:7] * px + A[7:8] * py + A[8:9] * pz,
+        ],
+        axis=0,
+    )
+    zero = jnp.zeros_like(m)
+    a0 = jnp.concatenate([A[0:1], A[3:4], A[6:7], zero], 0)  # A[:,0], pad
+    a1 = jnp.concatenate([A[1:2], A[4:5], A[7:8], zero], 0)
+    a2 = jnp.concatenate([A[2:3], A[5:6], A[8:9], zero], 0)
+    val = jnp.concatenate([c0, m, a0, a1, a2], 0)  # (16, CHUNK)
+
+    val2 = jnp.concatenate(
+        [val * wx[i : i + 1, :] for i in range(TILE)], 0
+    )  # (112, CHUNK)
+
+    return jax.lax.dot_general(
+        val2,
+        wyzT,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )  # (112, 49)
+
+
+def _p2g_kernel(s_ref, e_ref, pdata_first, pdata_hbm, out_ref, pbuf, sem_p):
     b = pl.program_id(0)
     s = s_ref[b]
     e = e_ref[b]
     cnt = e - s
-    dstart = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
+    dstart = pl.multiple_of((s // CHUNK) * CHUNK, CHUNK)
     nch = jnp.where(cnt > 0, pl.cdiv(e - dstart, CHUNK), 0)
+
+    # chunk 0 arrives through the pipelined BlockSpec (the only chunk
+    # for blocks whose range fits one chunk — the common case at 8 ppc)
+    acc = _chunk_contrib(pdata_first, s, e, dstart)
+    acc = jnp.where(nch > 0, acc, 0.0)
 
     def dma_p(slot, ci):
         return pltpu.make_async_copy(
@@ -91,9 +136,9 @@ def _p2g_kernel(s_ref, e_ref, pdata_hbm, out_ref, pbuf, sem_p):
             sem_p.at[slot],
         )
 
-    @pl.when(nch > 0)
+    @pl.when(nch > 1)
     def _():
-        dma_p(0, 0).start()
+        dma_p(1, 1).start()
 
     def body(ci, acc):
         slot = jax.lax.rem(ci, 2)
@@ -103,49 +148,9 @@ def _p2g_kernel(s_ref, e_ref, pdata_hbm, out_ref, pbuf, sem_p):
             dma_p(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
         dma_p(slot, ci).wait()
-        pd = pbuf[slot]  # (16, CHUNK): fields on sublanes, particles on lanes
+        return acc + _chunk_contrib(pbuf[slot], s, e, dstart + ci * CHUNK)
 
-        # mask lanes outside the block's exact [s, e) range
-        gidx = dstart + ci * CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK), 1
-        )
-        mask = ((gidx >= s) & (gidx < e)).astype(jnp.float32)
-
-        wyzT = _wyzT(pd[14:15, :], pd[15:16, :]) * mask  # (49, CHUNK)
-        wx = _axis_weights_T(pd[13:14, :])  # (8, CHUNK)
-
-        mv = pd[0:3, :]
-        m = pd[3:4, :]
-        A = pd[4:13, :]  # row-major A00..A22
-        px, py, pz = pd[13:14, :], pd[14:15, :], pd[15:16, :]
-        c0 = mv + jnp.concatenate(
-            [
-                A[0:1] * px + A[1:2] * py + A[2:3] * pz,
-                A[3:4] * px + A[4:5] * py + A[5:6] * pz,
-                A[6:7] * px + A[7:8] * py + A[8:9] * pz,
-            ],
-            axis=0,
-        )
-        zero = jnp.zeros_like(m)
-        a0 = jnp.concatenate([A[0:1], A[3:4], A[6:7], zero], 0)  # A[:,0], pad
-        a1 = jnp.concatenate([A[1:2], A[4:5], A[7:8], zero], 0)
-        a2 = jnp.concatenate([A[2:3], A[5:6], A[8:9], zero], 0)
-        val = jnp.concatenate([c0, m, a0, a1, a2], 0)  # (16, CHUNK)
-
-        val2 = jnp.concatenate(
-            [val * wx[i : i + 1, :] for i in range(TILE)], 0
-        )  # (112, CHUNK)
-
-        prod = jax.lax.dot_general(
-            val2,
-            wyzT,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HI,
-        )  # (112, 49)
-        return acc + prod
-
-    acc = jax.lax.fori_loop(0, nch, body, jnp.zeros((NROW, NJK), jnp.float32))
+    acc = jax.lax.fori_loop(1, nch, body, acc)
 
     # node-coordinate correction -> (28, 49) tile [i, c, (j,k)]
     lane = jax.lax.broadcasted_iota(jnp.int32, (3, NJK), 1)
@@ -184,6 +189,11 @@ def p2g_blocked(s_arr, e_arr, pdata, interpret: bool = False):
         num_scalar_prefetch=2,
         grid=(K,),
         in_specs=[
+            pl.BlockSpec(
+                (NVAL, CHUNK),
+                lambda i, s, e: (0, s[i] // CHUNK),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -194,12 +204,17 @@ def p2g_blocked(s_arr, e_arr, pdata, interpret: bool = False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+
+    def kernel(s_ref, e_ref, pdata_first_ref, pdata_hbm, out_ref, pbuf, sem_p):
+        _p2g_kernel(s_ref, e_ref, pdata_first_ref[:], pdata_hbm, out_ref,
+                    pbuf, sem_p)
+
     return pl.pallas_call(
-        _p2g_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, NOUT, NJK), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(s_arr, e_arr, pdata)
+    )(s_arr, e_arr, pdata, pdata)

@@ -284,6 +284,10 @@ def blocked_frame(
         need = drift >= 0.45
 
         def do_resort(p):
+            # the barrier stops XLA from speculatively hoisting the
+            # page-map segment ops out of the conditional (they showed
+            # up every substep in traces otherwise)
+            p = jax.lax.optimization_barrier(p)
             return resort(p)
 
         def keep(p):
