@@ -400,23 +400,16 @@ class MPM:
     def _build_cpic_blocked_jit(self, n_substeps: int, cap: int, near: int):
         cfg = self.cfg
         scene = self.rigid_scene
-        from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_substep
+        from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_frame
 
         self._blocked_cap = cap
         self._near_budget = near
 
         def fn(p, bodies, t):
-            def body(carry, _):
-                pp, bb, tt = carry
-                (pp, bb, tt), n_act, n_near = cpic_blocked_substep(
-                    pp, bb, tt, cfg, scene, cfg.base_dt, cap, near
-                )
-                return (pp, bb, tt), (n_act, n_near)
-
-            (p, bodies, t), (n_acts, n_nears) = jax.lax.scan(
-                body, (p, bodies, t), None, length=n_substeps
+            p, bodies, t, n_act, n_near, _ = cpic_blocked_frame(
+                p, bodies, t, cfg, scene, cfg.base_dt, n_substeps, cap, near
             )
-            return p, bodies, t, jnp.max(n_acts), jnp.max(n_nears)
+            return p, bodies, t, n_act, n_near
 
         return jax.jit(fn)
 

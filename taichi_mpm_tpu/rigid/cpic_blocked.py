@@ -287,12 +287,18 @@ def g2p_correction(
     return dv, dB, rid_last
 
 
-def cpic_blocked_substep(
-    p: Particles, bodies, t, cfg: SimConfig, scene, dt, K: int,
+def cpic_blocked_substep_presorted(
+    p: Particles, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
     near_budget: int, interpret: bool = False,
 ):
-    """One coupled substep: plain blocked kernels + sparse CPIC
-    corrections. Returns ((p, bodies, t+dt), n_act, n_near)."""
+    """One coupled substep against an existing sort + frozen page map
+    (the CPIC analog of ops.substep.substep_presorted — particles may
+    have drifted up to ~0.5 cells from their sort-time blocks; the
+    7-node halo tiles and the dilated page map absorb that).
+
+    Returns ((p, bodies, t+dt), n_near, vmax) where vmax is the max
+    |v| component actually used for advection this substep (for the
+    caller's drift accounting)."""
     from taichi_mpm_tpu.core.solver import clear_boundary_particles
     from taichi_mpm_tpu.core.transfer import particle_collision_resolution
     from taichi_mpm_tpu.rigid import articulation as artic
@@ -303,6 +309,7 @@ def cpic_blocked_substep(
     n = p.capacity
     pw = _round_up(n, CHUNK)
     near_budget = min(near_budget, n)
+    K = pm["ids"].shape[0]
 
     # -- rigid prologue (same order as cpic_substep / reference substep)
     if scene.collision is not None:
@@ -338,10 +345,7 @@ def cpic_blocked_substep(
         p, states=states, bdist=bdist, bnormal=bnormal, near_b=near_b
     )
 
-    # -- plain blocked P2G over all particles
-    p, keys, perm = sort_particles(p, cfg)
-    idx = jnp.argsort(perm, stable=True).astype(jnp.int32)[idx]  # re-map to sorted order
-    pm = build_page_map_full(keys, cfg, K)
+    # -- plain blocked P2G over all particles (already sorted)
     pdata = prep_p2g(p, keys, cfg, dt, origin=pm["origin"])
     tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
     rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
@@ -382,6 +386,9 @@ def cpic_blocked_substep(
     )
 
     p = g2p_finish(p, v_new, b_new, cfg, dt, zero_C=p.near_b)
+    # the advection this substep used exactly p.v as set by g2p_finish;
+    # measure it BEFORE the penalty kick below modifies v
+    vmax = jnp.max(jnp.where(p.active[:, None], jnp.abs(p.v), 0.0))
 
     # -- boundary penetration penalty (transfer.cpp:671-682)
     pen = (
@@ -402,4 +409,73 @@ def cpic_blocked_substep(
         p = clear_boundary_particles(p, cfg)
 
     bodies = advance(bodies, t, dt, scene.pos_funcs, scene.rot_funcs, cfg.gravity)
-    return (p, bodies, t + dt), pm["n_act"], n_near
+    return (p, bodies, t + dt), n_near, vmax
+
+
+def cpic_blocked_substep(
+    p: Particles, bodies, t, cfg: SimConfig, scene, dt, K: int,
+    near_budget: int, interpret: bool = False,
+):
+    """One coupled substep with its own sort + page-map build.
+    Returns ((p, bodies, t+dt), n_act, n_near)."""
+    p, keys, _ = sort_particles(p, cfg)
+    pm = build_page_map_full(keys, cfg, K)
+    (p, bodies, t), n_near, _ = cpic_blocked_substep_presorted(
+        p, keys, pm, bodies, t, cfg, scene, dt, near_budget,
+        interpret=interpret,
+    )
+    return (p, bodies, t), pm["n_act"], n_near
+
+
+def cpic_blocked_frame(
+    p: Particles, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
+    K: int, near_budget: int, interpret: bool = False,
+):
+    """A CPIC frame with drift-triggered lazy re-sorting (the CPIC
+    analog of ops.substep.blocked_frame): sort once, run substeps
+    against the frozen page map, re-sort inside the scan only when the
+    accumulated max displacement approaches half a cell.
+
+    Returns (p, bodies, t, max n_act, max n_near, n_sorts)."""
+
+    def resort(p):
+        p, keys, _ = sort_particles(p, cfg)
+        return p, keys, build_page_map_full(keys, cfg, K)
+
+    p, keys, pm = resort(p)
+
+    def body(carry, _):
+        p, keys, pm, bodies, drift, t, nmax, nnear, nsorts = carry
+        (p, bodies, t), n_near, vmax = cpic_blocked_substep_presorted(
+            p, keys, pm, bodies, t, cfg, scene, dt, near_budget,
+            interpret=interpret,
+        )
+        drift = drift + dt * cfg.inv_dx * vmax
+        need = drift >= 0.45
+
+        def do_resort(p):
+            # barrier: keep XLA from hoisting the page-map segment ops
+            # out of the conditional (see ops.substep.blocked_frame)
+            p = jax.lax.optimization_barrier(p)
+            return resort(p)
+
+        def keep(p):
+            return p, keys, pm
+
+        p, keys, pm = jax.lax.cond(need, do_resort, keep, p)
+        drift = jnp.where(need, 0.0, drift)
+        nsorts = nsorts + need.astype(jnp.int32)
+        return (
+            p, keys, pm, bodies, drift, t,
+            jnp.maximum(nmax, pm["n_act"]), jnp.maximum(nnear, n_near),
+            nsorts,
+        ), None
+
+    carry = (
+        p, keys, pm, bodies, jnp.float32(0.0), t, pm["n_act"],
+        jnp.int32(0), jnp.int32(1),
+    )
+    (p, keys, pm, bodies, _, t, nmax, nnear, nsorts), _ = jax.lax.scan(
+        body, carry, None, length=n_substeps
+    )
+    return p, bodies, t, nmax, nnear, nsorts

@@ -340,3 +340,57 @@ class TestCPICBlocked:
         np.testing.assert_allclose(
             np.asarray(b_b.vel), np.asarray(b_o.vel), atol=1e-5
         )
+
+    def test_lazy_resort_frame_matches_per_substep_sort(self):
+        """cpic_blocked_frame's drift-triggered lazy re-sort must
+        reproduce the per-substep-sort trajectory, including the rigid
+        body states, when fast drift forces in-scan re-sorts."""
+        from taichi_mpm_tpu.rigid.cpic_blocked import (
+            cpic_blocked_frame,
+            cpic_blocked_substep,
+        )
+        from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+        rng = np.random.default_rng(7)
+        sim = MPM(res=(16, 16, 16), base_delta_t=2e-4, gravity=(0, -10.0, 0),
+                  penalty=1e3)
+        pos = rng.uniform(0.25, 0.65, size=(200, 3)).astype(np.float32)
+        cfg0 = 16.0  # inv_dx
+        vdrift = 0.1 / (2e-4 * cfg0)  # ~0.1 cells/substep
+        sim.add_particles("jelly", pos=pos, vel=(vdrift, -0.5, 0), E=1e4,
+                          nu=0.3, density=1000)
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.25, half_v=0.25, axis=1),
+            scripted_position=lambda t: (0.5, 0.4, 0.5),
+            scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+            codimensional=True, friction=0.2,
+        )
+        sim._finalize()
+        cfg, scene = sim.cfg, sim.rigid_scene
+        dt = cfg.base_dt
+
+        p_ref, b_ref = sim.particles, sim.bodies
+        t = jnp.float32(0.0)
+        for _ in range(10):
+            (p_ref, b_ref, t), _, _ = cpic_blocked_substep(
+                p_ref, b_ref, t, cfg, scene, dt, K=96, near_budget=256,
+                interpret=True,
+            )
+
+        p_l, b_l, t2, n_act, n_near, nsorts = cpic_blocked_frame(
+            sim.particles, sim.bodies, jnp.float32(0.0), cfg, scene, dt,
+            10, 96, 256, interpret=True,
+        )
+        assert int(nsorts) >= 2  # drift actually triggered re-sorts
+        assert int(n_act) <= 96 and int(n_near) <= 256
+        a = np.asarray(p_ref.x)[np.asarray(p_ref.active)]
+        b = np.asarray(p_l.x)[np.asarray(p_l.active)]
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(b_l.vel), np.asarray(b_ref.vel), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_l.omega), np.asarray(b_ref.omega), atol=1e-5
+        )
