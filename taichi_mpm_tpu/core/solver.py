@@ -334,10 +334,9 @@ class MPM:
             if use_blocked is None:
                 use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
             if use_blocked and cfg.dim == 3:
+                near, b1 = self._near_budget_cap()
                 return self._build_cpic_blocked_jit(
-                    n_substeps,
-                    self._active_block_cap(),
-                    self._near_budget_cap(),
+                    n_substeps, self._active_block_cap(), near, b1
                 )
             from taichi_mpm_tpu.rigid.cpic import cpic_substep
 
@@ -392,24 +391,78 @@ class MPM:
         return int(min(nbt, -(-max(64, int(1.5 * occ)) // 64) * 64))
 
     def _near_budget_cap(self) -> int:
-        """Static capacity of the compacted near-rigid particle set;
-        grows by re-jit on overflow like the block cap."""
-        return int(min(self.particles.capacity,
-                       -(-max(1024, self.particles.capacity // 4) // 256) * 256))
+        """Static capacities (budget, b1) of the compacted near-rigid
+        particle machinery, estimated host-side at t=0 and grown by
+        re-jit on overflow (MPM.step). budget sizes the EXACT stencil-
+        tagged set (every CPIC correction pass costs O(budget)); b1
+        sizes the intermediate block-level COARSE set. Estimates: count
+        particles in cells within 2 cells of a rigid boundary particle
+        (exact proxy), and in blocks within one block of one (the
+        stage-1 coarse superset); 1.5x margin each."""
+        from taichi_mpm_tpu.ops.blocked import BLOCK
+        from taichi_mpm_tpu.rigid.body import boundary_particle_world
 
-    def _build_cpic_blocked_jit(self, n_substeps: int, cap: int, near: int):
+        def dilate(mask, r):
+            for ax in range(3):
+                t = mask.copy()
+                for s in range(1, r + 1):
+                    lo = [slice(None)] * 3
+                    hi = [slice(None)] * 3
+                    lo[ax] = slice(s, None)
+                    hi[ax] = slice(0, -s)
+                    mask[tuple(lo)] |= t[tuple(hi)]
+                    mask[tuple(hi)] |= t[tuple(lo)]
+            return mask
+
+        cap = self.particles.capacity
+        scene = self.rigid_scene
+        xb, _, _ = boundary_particle_world(
+            self.bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        xb = np.asarray(xb)
+        act = np.asarray(self.particles.active)
+        x = np.asarray(self.particles.x)[act]
+        res = np.asarray(self.cfg.res)
+
+        # coarse: bp blocks box-dilated by one block (stage 1 mirror)
+        nb = np.maximum(1, -(-res // BLOCK))
+        bblk = np.clip((xb / self.cfg.dx).astype(np.int64) // BLOCK, 0, nb - 1)
+        tag_b = np.zeros(tuple(nb), bool)
+        tag_b[tuple(bblk.T)] = True
+        tag_b = dilate(tag_b, 1)
+        pblk = np.clip((x / self.cfg.dx).astype(np.int64) // BLOCK, 0, nb - 1)
+        n_coarse = int(tag_b[tuple(pblk.T)].sum())
+
+        # exact proxy: bp cells box-dilated by two cells (CDF tag radius
+        # ~1 cell + quadratic stencil reach ~1.5 cells)
+        bcell = np.clip((xb / self.cfg.dx).astype(np.int64), 0, res - 1)
+        tag_c = np.zeros(tuple(res), bool)
+        tag_c[tuple(bcell.T)] = True
+        tag_c = dilate(tag_c, 2)
+        pcell = np.clip((x / self.cfg.dx).astype(np.int64), 0, res - 1)
+        n_exact = int(tag_c[tuple(pcell.T)].sum())
+
+        budget = int(min(cap, -(-max(1024, int(1.5 * n_exact)) // 256) * 256))
+        b1 = int(min(cap, -(-max(4 * 1024, int(1.5 * n_coarse)) // 256) * 256))
+        return budget, max(b1, budget)
+
+    def _build_cpic_blocked_jit(self, n_substeps: int, cap: int, near: int,
+                                b1: int):
         cfg = self.cfg
         scene = self.rigid_scene
         from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_frame
 
         self._blocked_cap = cap
         self._near_budget = near
+        self._near_b1 = b1
 
         def fn(p, bodies, t):
-            p, bodies, t, n_act, n_near, _ = cpic_blocked_frame(
-                p, bodies, t, cfg, scene, cfg.base_dt, n_substeps, cap, near
+            p, bodies, t, n_act, n_near, n_coarse, _ = cpic_blocked_frame(
+                p, bodies, t, cfg, scene, cfg.base_dt, n_substeps, cap,
+                near, b1
             )
-            return p, bodies, t, n_act, n_near
+            return p, bodies, t, n_act, n_near, n_coarse
 
         return jax.jit(fn)
 
@@ -445,25 +498,33 @@ class MPM:
 
             nbt = total_blocks_padded(self.cfg)
             while True:
-                p2, b2, t2, n_act, n_near = self._frame_jit(
+                p2, b2, t2, n_act, n_near, n_coarse = self._frame_jit(
                     self.particles, self.bodies, self.t
                 )
-                n_act, n_near = int(n_act), int(n_near)
+                n_act, n_near, n_coarse = int(n_act), int(n_near), int(n_coarse)
+                pcap = self.particles.capacity
                 grow_cap = n_act > self._blocked_cap and self._blocked_cap < nbt
-                grow_near = n_near > self._near_budget and (
-                    self._near_budget < self.particles.capacity
+                grow_b1 = n_coarse > self._near_b1 and self._near_b1 < pcap
+                # a coarse overflow may have hidden exact-near particles,
+                # so the frame must re-run with a larger b1 regardless of
+                # what n_near reported
+                grow_near = (not grow_b1) and n_near > self._near_budget and (
+                    self._near_budget < pcap
                 )
-                if not (grow_cap or grow_near):
+                if not (grow_cap or grow_near or grow_b1):
                     self.particles, self.bodies, self.t = p2, b2, t2
                     break
                 cap = self._blocked_cap
                 near = self._near_budget
+                b1 = self._near_b1
                 if grow_cap:
                     cap = int(min(nbt, -(-2 * n_act // 64) * 64))
+                if grow_b1:
+                    b1 = int(min(pcap, -(-2 * n_coarse // 256) * 256))
                 if grow_near:
-                    near = int(min(self.particles.capacity, -(-2 * n_near // 256) * 256))
+                    near = int(min(pcap, -(-2 * n_near // 256) * 256))
                 self._frame_jit = self._build_cpic_blocked_jit(
-                    self._frame_substeps, cap, near
+                    self._frame_substeps, cap, near, max(b1, near)
                 )
         elif self.bodies is not None:
             self.particles, self.bodies, self.t = self._frame_jit(

@@ -80,12 +80,20 @@ def _rec_slot_lane(idx, slot_map, cfg: SimConfig):
     return slot, lane
 
 
-def compact_near_rigid(p: Particles, grid_states, cfg: SimConfig, budget: int):
+def compact_near_rigid(
+    p: Particles, grid_states, cfg: SimConfig, budget: int, b1: int = 0
+):
     """Fixed-budget compaction of particles near rigid surfaces: blocks
     containing tagged nodes are dilated by one block (conservative
     superset of the exact per-stencil test), then each particle makes
     ONE block-table lookup — the rigid page map (mpm.cpp:1021-1076 /
-    rigid_transfer.cpp:147-149) rebuilt functionally."""
+    rigid_transfer.cpp:147-149) rebuilt functionally.
+
+    budget sizes the EXACT set (every downstream correction pass costs
+    O(budget)); b1 sizes the intermediate COARSE block-level set
+    (default 4*budget). Returns (idx, valid, n_near, n_coarse) where
+    n_near is the conservative near count for budget-overflow checks
+    and n_coarse the stage-1 count for b1-overflow checks."""
     nodes = cfg.grid_nodes
     nbp = blocked.num_blocks_padded(cfg)
     tag = (grid_states != 0).reshape(nodes)
@@ -110,7 +118,7 @@ def compact_near_rigid(p: Particles, grid_states, cfg: SimConfig, budget: int):
     coarse = p.active & (touch | (p.states != 0))
     order = jnp.argsort(jnp.where(coarse, 0, 1), stable=True).astype(jnp.int32)
     n_coarse = jnp.sum(coarse.astype(jnp.int32))
-    B1 = min(4 * budget, p.capacity)
+    B1 = min(b1 if b1 else 4 * budget, p.capacity)
     idx1 = order[:B1]
     valid1 = jnp.arange(B1, dtype=jnp.int32) < jnp.minimum(n_coarse, B1)
 
@@ -131,10 +139,10 @@ def compact_near_rigid(p: Particles, grid_states, cfg: SimConfig, budget: int):
     n_exact = jnp.sum(exact.astype(jnp.int32))
     idx = idx1[order2[:budget]]
     valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(n_exact, budget)
-    # conservative overflow report: if the coarse stage overflowed, some
-    # exact-near particles may have been missed entirely
-    n_near = jnp.where(n_coarse > B1, n_coarse, n_exact)
-    return idx, valid, n_near
+    # if the coarse stage overflowed (n_coarse > b1), exact-near
+    # particles may have been missed: the caller must check n_coarse
+    # against its b1 capacity FIRST, then n_near against budget
+    return idx, valid, n_exact, n_coarse
 
 
 def _near_values(p: Particles, idx, cfg: SimConfig, dt):
@@ -289,16 +297,16 @@ def g2p_correction(
 
 def cpic_blocked_substep_presorted(
     p: Particles, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
-    near_budget: int, interpret: bool = False,
+    near_budget: int, b1: int = 0, interpret: bool = False,
 ):
     """One coupled substep against an existing sort + frozen page map
     (the CPIC analog of ops.substep.substep_presorted — particles may
     have drifted up to ~0.5 cells from their sort-time blocks; the
     7-node halo tiles and the dilated page map absorb that).
 
-    Returns ((p, bodies, t+dt), n_near, vmax) where vmax is the max
-    |v| component actually used for advection this substep (for the
-    caller's drift accounting)."""
+    Returns ((p, bodies, t+dt), n_near, n_coarse, vmax) where vmax is
+    the max |v| component actually used for advection this substep
+    (for the caller's drift accounting)."""
     from taichi_mpm_tpu.core.solver import clear_boundary_particles
     from taichi_mpm_tpu.core.transfer import particle_collision_resolution
     from taichi_mpm_tpu.rigid import articulation as artic
@@ -330,7 +338,9 @@ def cpic_blocked_substep_presorted(
     # (rigid_transfer.cpp:147-149). Particles outside the set keep
     # zero/old state correctly: any particle carrying affinity bits is
     # in the set by construction, so leaving the neighborhood clears it.
-    idx, valid, n_near = compact_near_rigid(p, grid_states, cfg, near_budget)
+    idx, valid, n_near, n_coarse = compact_near_rigid(
+        p, grid_states, cfg, near_budget, b1
+    )
     st_c, bd_c, bn_c, nb_c = cdf.gather_cdf(
         p.x[idx], p.states[idx], grid_dist, grid_rid, grid_states, R, cfg
     )
@@ -409,34 +419,37 @@ def cpic_blocked_substep_presorted(
         p = clear_boundary_particles(p, cfg)
 
     bodies = advance(bodies, t, dt, scene.pos_funcs, scene.rot_funcs, cfg.gravity)
-    return (p, bodies, t + dt), n_near, vmax
+    return (p, bodies, t + dt), n_near, n_coarse, vmax
 
 
 def cpic_blocked_substep(
     p: Particles, bodies, t, cfg: SimConfig, scene, dt, K: int,
-    near_budget: int, interpret: bool = False,
+    near_budget: int, b1: int = 0, interpret: bool = False,
 ):
     """One coupled substep with its own sort + page-map build.
     Returns ((p, bodies, t+dt), n_act, n_near)."""
     p, keys, _ = sort_particles(p, cfg)
     pm = build_page_map_full(keys, cfg, K)
-    (p, bodies, t), n_near, _ = cpic_blocked_substep_presorted(
-        p, keys, pm, bodies, t, cfg, scene, dt, near_budget,
+    (p, bodies, t), n_near, n_coarse, _ = cpic_blocked_substep_presorted(
+        p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
         interpret=interpret,
     )
+    B1 = min(b1 if b1 else 4 * near_budget, p.capacity)
+    n_near = jnp.where(n_coarse > B1, jnp.maximum(n_near, n_coarse), n_near)
     return (p, bodies, t), pm["n_act"], n_near
 
 
 def cpic_blocked_frame(
     p: Particles, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
-    K: int, near_budget: int, interpret: bool = False,
+    K: int, near_budget: int, b1: int = 0, interpret: bool = False,
 ):
     """A CPIC frame with drift-triggered lazy re-sorting (the CPIC
     analog of ops.substep.blocked_frame): sort once, run substeps
     against the frozen page map, re-sort inside the scan only when the
     accumulated max displacement approaches half a cell.
 
-    Returns (p, bodies, t, max n_act, max n_near, n_sorts)."""
+    Returns (p, bodies, t, max n_act, max n_near, max n_coarse,
+    n_sorts)."""
 
     def resort(p):
         p, keys, _ = sort_particles(p, cfg)
@@ -445,9 +458,9 @@ def cpic_blocked_frame(
     p, keys, pm = resort(p)
 
     def body(carry, _):
-        p, keys, pm, bodies, drift, t, nmax, nnear, nsorts = carry
-        (p, bodies, t), n_near, vmax = cpic_blocked_substep_presorted(
-            p, keys, pm, bodies, t, cfg, scene, dt, near_budget,
+        p, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nsorts = carry
+        (p, bodies, t), n_near, n_coarse, vmax = cpic_blocked_substep_presorted(
+            p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
             interpret=interpret,
         )
         drift = drift + dt * cfg.inv_dx * vmax
@@ -468,14 +481,14 @@ def cpic_blocked_frame(
         return (
             p, keys, pm, bodies, drift, t,
             jnp.maximum(nmax, pm["n_act"]), jnp.maximum(nnear, n_near),
-            nsorts,
+            jnp.maximum(ncoarse, n_coarse), nsorts,
         ), None
 
     carry = (
         p, keys, pm, bodies, jnp.float32(0.0), t, pm["n_act"],
-        jnp.int32(0), jnp.int32(1),
+        jnp.int32(0), jnp.int32(0), jnp.int32(1),
     )
-    (p, keys, pm, bodies, _, t, nmax, nnear, nsorts), _ = jax.lax.scan(
+    (p, keys, pm, bodies, _, t, nmax, nnear, ncoarse, nsorts), _ = jax.lax.scan(
         body, carry, None, length=n_substeps
     )
-    return p, bodies, t, nmax, nnear, nsorts
+    return p, bodies, t, nmax, nnear, ncoarse, nsorts
