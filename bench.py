@@ -5,8 +5,12 @@ Replicates the reference's benchmark harness semantics
 work metric = particle updates per second, mpm.cpp:436,449).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured particle-steps/sec relative to the 1e9 target
-(BASELINE.md: >=1e9 particle-steps/sec at 10M particles on v5p-8).
+The default config is the reference's own large benchmark (benchmark=8000:
+100^3 cells x 8 ppc = 8M particles, res 125^3); BENCH_CELLS=25 selects the
+small one (125k). The value is per-chip throughput; vs_baseline compares it
+to the per-chip share of the BASELINE.md target (>=1e9 particle-steps/sec
+at 10M particles on a v5p-8, i.e. 1e9/8 per chip — note the target chip is
+a v5p with ~3.4x this v5e's HBM bandwidth).
 """
 
 import json
@@ -17,7 +21,7 @@ import jax
 
 
 def main():
-    cells = int(os.environ.get("BENCH_CELLS", "25"))  # 25 -> 125k particles
+    cells = int(os.environ.get("BENCH_CELLS", "100"))  # 100 -> 8M particles
     substeps = int(os.environ.get("BENCH_SUBSTEPS", "20"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
@@ -44,7 +48,7 @@ def main():
                 "metric": "particle_steps_per_sec",
                 "value": pps,
                 "unit": "particle-steps/s/chip",
-                "vs_baseline": pps / 1e9,
+                "vs_baseline": pps / (1e9 / 8),
             }
         )
     )

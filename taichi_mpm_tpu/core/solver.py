@@ -378,16 +378,34 @@ class MPM:
 
         nbp = num_blocks_padded(self.cfg)
         nbt = total_blocks_padded(self.cfg)
-        x = np.asarray(self.particles.x)[np.asarray(self.particles.active)]
-        cell = np.clip((x / self.cfg.dx).astype(np.int64), 0,
-                       np.asarray(self.cfg.res) - 1)
-        b = np.unique(cell // BLOCK, axis=0)
-        # dilate by the 27-neighborhood, clipped to the padded range
-        offs = np.stack(np.meshgrid(*([[-1, 0, 1]] * 3), indexing="ij"), -1).reshape(-1, 3)
-        dil = (b[:, None, :] + offs[None]).reshape(-1, 3)
-        keep = np.all((dil >= 0) & (dil < np.asarray(nbp)), axis=1)
-        dil = np.unique(dil[keep], axis=0)
-        occ = len(dil)
+        cfg = self.cfg
+
+        # occupancy computed ON DEVICE (pulling positions host-side is a
+        # slow tunnel transfer at millions of particles): scatter-set an
+        # occupancy grid over padded block space, box-dilate, count
+        @jax.jit
+        def occ_count(x, active):
+            cell = jnp.clip(
+                (x * cfg.inv_dx).astype(jnp.int32), 0,
+                jnp.asarray(cfg.res, jnp.int32) - 1,
+            )
+            b = cell // BLOCK
+            bid = (b[..., 0] * nbp[1] + b[..., 1]) * nbp[2] + b[..., 2]
+            bid = jnp.where(active, bid, nbp[0] * nbp[1] * nbp[2])
+            occ = jnp.zeros((nbp[0] * nbp[1] * nbp[2] + 1,), jnp.int32)
+            occ = occ.at[bid].max(1, mode="drop").astype(bool)
+            g = occ[:-1].reshape(nbp)
+            for ax in range(3):
+                lo = jnp.roll(g, 1, axis=ax).at[
+                    tuple(slice(0, 1) if a == ax else slice(None) for a in range(3))
+                ].set(False)
+                hi = jnp.roll(g, -1, axis=ax).at[
+                    tuple(slice(-1, None) if a == ax else slice(None) for a in range(3))
+                ].set(False)
+                g = g | lo | hi
+            return jnp.sum(g.astype(jnp.int32))
+
+        occ = int(occ_count(self.particles.x, self.particles.active))
         return int(min(nbt, -(-max(64, int(1.5 * occ)) // 64) * 64))
 
     def _near_budget_cap(self) -> int:
