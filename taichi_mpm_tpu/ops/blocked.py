@@ -366,9 +366,10 @@ def _mm_hi(a, b):
     )
 
 
-def merge_tiles_mm(tiles, nbr):
+def merge_tiles_mm27(tiles, nbr):
     """tiles (K, 28, 49) P2G halo tiles -> node records (K, 256) flat
-    (c-major lanes). One row gather + one MXU matmul per neighbor offset."""
+    (c-major lanes). One row gather + one MXU matmul per neighbor offset.
+    Kept as the oracle for the separable 3-stage version below."""
     K = tiles.shape[0]
     tf = tiles.reshape(K, _TILE_FLAT)
     tp = jnp.concatenate([tf, jnp.zeros((1, _TILE_FLAT), tf.dtype)], 0)
@@ -382,8 +383,9 @@ def merge_tiles_mm(tiles, nbr):
     return rec
 
 
-def windows_mm(vrec, nbr):
-    """Velocity records (K, 192) -> G2P operand tiles (K, 24, 128)."""
+def windows_mm27(vrec, nbr):
+    """Velocity records (K, 192) -> G2P operand tiles (K, 24, 128).
+    27-offset oracle for the separable version below."""
     K = vrec.shape[0]
     vp = jnp.concatenate([vrec, jnp.zeros((1, _VREC_FLAT), vrec.dtype)], 0)
     W = _window_matrices()
@@ -394,6 +396,120 @@ def windows_mm(vrec, nbr):
                 rows = vrec if (ox, oy, oz) == (1, 1, 1) else vp[nbr[:, ox, oy, oz]]
                 win = win + _mm_hi(rows, jnp.asarray(W[ox, oy, oz]))
     return win.reshape(K, 24, 128)
+
+
+# ---------------------------------------------------------------------------
+# Separable (per-axis) halo merge / window assembly.
+#
+# The 27-offset formulation gathers the full neighbor rows 27 times and
+# re-writes the accumulator 27 times. Offsets compose per axis:
+# neighbor(ox,oy,oz) = x-step(ox) o y-step(oy) o z-step(oz) — so the
+# merge runs as 3 stages of 3 single-axis offsets each (9 gathers + 9
+# matmuls instead of 27), with far smaller intermediates. Correctness of
+# the composition relies on the fat page map: a nonzero source block is
+# occupied, hence its whole 27-neighborhood (including every chain
+# intermediate) is an active slot (active_block_ids dilation — the
+# reference's fat_page_map, mpm.cpp:832-865).
+#
+# Stage layouts (merge):   (i,c,j,k)1372 -z-> (ic,j,lz)784 -y->
+#   (ic,ly,lz)448 -x-> (c,lx,ly,lz)256
+# Stage layouts (windows): (c,lx,ly,lz)192 -x-> (c,wx,ly,lz)336 -y->
+#   (c,wx,wy,lz)588 -z-> (c,wx | wy,wz)3072
+# ---------------------------------------------------------------------------
+
+
+def _merge_axis_matrices():
+    if "Msep" in _mm_cache:
+        return _mm_cache["Msep"]
+    recmap, _ = _offset_maps()
+    M1 = np.zeros((3, _TILE_FLAT, 28 * 7 * 4), np.float32)  # fold k -> lz
+    M2 = np.zeros((3, 28 * 7 * 4, 28 * 16), np.float32)  # fold j -> ly
+    M3 = np.zeros((3, 28 * 16, _REC_FLAT), np.float32)  # fold i -> lx
+    for o in range(3):
+        for lz, iz in recmap[o]:
+            for ic in range(28):
+                for j in range(TILE):
+                    M1[o, ic * 49 + j * 7 + iz, (ic * 7 + j) * 4 + lz] = 1.0
+        for ly, iy in recmap[o]:
+            for ic in range(28):
+                for lz in range(4):
+                    M2[o, (ic * 7 + iy) * 4 + lz, ic * 16 + ly * 4 + lz] = 1.0
+        for lx, ix in recmap[o]:
+            for c in range(4):
+                for ly in range(4):
+                    for lz in range(4):
+                        M3[
+                            o,
+                            (ix * 4 + c) * 16 + ly * 4 + lz,
+                            c * 64 + lx * 16 + ly * 4 + lz,
+                        ] = 1.0
+    _mm_cache["Msep"] = (M1, M2, M3)
+    return _mm_cache["Msep"]
+
+
+def _window_axis_matrices():
+    if "Wsep" in _mm_cache:
+        return _mm_cache["Wsep"]
+    _, winmap = _offset_maps()
+    W1 = np.zeros((3, _VREC_FLAT, 3 * 7 * 16), np.float32)  # lx -> wx
+    W2 = np.zeros((3, 3 * 7 * 16, 3 * 7 * 28), np.float32)  # ly -> wy
+    W3 = np.zeros((3, 3 * 7 * 28, _WIN_FLAT), np.float32)  # lz -> wz
+    for o in range(3):
+        for wx, lx in winmap[o]:
+            for c in range(3):
+                for ly in range(4):
+                    for lz in range(4):
+                        W1[
+                            o,
+                            c * 64 + lx * 16 + ly * 4 + lz,
+                            (c * 7 + wx) * 16 + ly * 4 + lz,
+                        ] = 1.0
+        for wy, ly in winmap[o]:
+            for cwx in range(21):
+                for lz in range(4):
+                    W2[o, cwx * 16 + ly * 4 + lz, cwx * 28 + wy * 4 + lz] = 1.0
+        for wz, lz in winmap[o]:
+            for cwx in range(21):
+                for wy in range(TILE):
+                    W3[o, cwx * 28 + wy * 4 + lz, cwx * 128 + wy * 7 + wz] = 1.0
+    _mm_cache["Wsep"] = (W1, W2, W3)
+    return _mm_cache["Wsep"]
+
+
+def _sep_stage(rows, nbr_ax, mats):
+    """One separable stage: sum over the 3 single-axis offsets of
+    gather(rows, nbr_ax[o]) @ mats[o] (offset 1 = self, no gather)."""
+    K, k_in = rows.shape
+    rp = jnp.concatenate([rows, jnp.zeros((1, k_in), rows.dtype)], 0)
+    out = None
+    for o in range(3):
+        src = rows if o == 1 else rp[nbr_ax[o]]
+        term = _mm_hi(src, jnp.asarray(mats[o]))
+        out = term if out is None else out + term
+    return out
+
+
+def merge_tiles_mm(tiles, nbr):
+    """tiles (K, 28, 49) -> node records (K, 256), separable 3-stage
+    per-axis fold (z, then y, then x)."""
+    K = tiles.shape[0]
+    M1, M2, M3 = _merge_axis_matrices()
+    s = tiles.reshape(K, _TILE_FLAT)
+    s = _sep_stage(s, [nbr[:, 1, 1, o] for o in range(3)], M1)
+    s = _sep_stage(s, [nbr[:, 1, o, 1] for o in range(3)], M2)
+    s = _sep_stage(s, [nbr[:, o, 1, 1] for o in range(3)], M3)
+    return s
+
+
+def windows_mm(vrec, nbr):
+    """Velocity records (K, 192) -> G2P operand tiles (K, 24, 128),
+    separable 3-stage per-axis assembly (x, then y, then z)."""
+    K = vrec.shape[0]
+    W1, W2, W3 = _window_axis_matrices()
+    s = _sep_stage(vrec, [nbr[:, o, 1, 1] for o in range(3)], W1)
+    s = _sep_stage(s, [nbr[:, 1, o, 1] for o in range(3)], W2)
+    s = _sep_stage(s, [nbr[:, 1, 1, o] for o in range(3)], W3)
+    return s.reshape(K, 24, 128)
 
 
 def tiles_to_records(tiles_ijkc, nbr, K: int):
