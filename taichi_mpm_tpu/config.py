@@ -47,8 +47,11 @@ class SimConfig:
 
     # Rigid-body coupling (CPIC) — compiled in only when the scene has rigids.
     num_rigids: int = 0
+    # Iterations of the {rigidify, articulate, rasterize} prologue per
+    # substep (mpm.cpp:467-471).
     coupling_iterations: int = 1
-    cdf_expand: bool = False
+    # 2D CDF tag dilation passes (rigid_transfer.cpp:79-111).
+    cdf_expand: int = 0
 
     def __post_init__(self):
         if self.dx == 0.0:

@@ -131,10 +131,30 @@ class AsyncMPM(MPM):
         smul = self.strength_dt_mul
         cmul = self.cfl_dt_mul
 
+        use_blocked = self.optimized
+        if use_blocked is None:
+            use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
+        if use_blocked and cfg.dim == 3:
+            # adaptive dt over the packed Pallas path (VERDICT r1 #3)
+            from taichi_mpm_tpu.ops.packed import packed_adaptive_frame
+
+            cap = self._active_block_cap()
+            self._blocked_cap = cap
+
+            def fn(p, t):
+                return packed_adaptive_frame(
+                    p, t, cfg, colliders, frame_dt, unit, max_dt, cap,
+                    smul, cmul,
+                )
+
+            return jax.jit(fn)
+        self._blocked_cap = None
+
         def fn(p, t):
-            return adaptive_frame_fn(
+            p, t, n = adaptive_frame_fn(
                 p, t, cfg, colliders, frame_dt, unit, max_dt, smul, cmul
             )
+            return p, t, n, jnp.int32(0)
 
         return jax.jit(fn)
 
@@ -144,7 +164,32 @@ class AsyncMPM(MPM):
         if self._frame_jit is None:
             self._frame_jit = self._build_jit(0)
             self._frame_substeps = 0
-        p, t, n = self._frame_jit(self.particles, self.t)
+        while True:
+            p, t, n, nmax = self._frame_jit(self.particles, self.t)
+            cap = getattr(self, "_blocked_cap", None)
+            if not cap:
+                break
+            from taichi_mpm_tpu.ops.blocked import total_blocks_padded
+
+            nbt = total_blocks_padded(self.cfg)
+            if int(nmax) <= cap or cap >= nbt:
+                break
+            # page-map overflow: re-jit larger, re-run the frame intact
+            self._blocked_cap = int(min(nbt, -(-2 * int(nmax) // 64) * 64))
+            cap2 = self._blocked_cap
+            cfg, colliders = self.cfg, tuple(self.colliders)
+            from taichi_mpm_tpu.ops.packed import packed_adaptive_frame
+
+            frame_dt, unit = self.frame_dt, self.unit_delta_t
+            max_dt, smul, cmul = (
+                self.cfg.base_dt, self.strength_dt_mul, self.cfl_dt_mul
+            )
+            self._frame_jit = jax.jit(
+                lambda p, t: packed_adaptive_frame(
+                    p, t, cfg, colliders, frame_dt, unit, max_dt, cap2,
+                    smul, cmul,
+                )
+            )
         self.particles, self.t = p, t
         self.update_counter += int(n) * int(self.particles.count())
         self.last_substeps = int(n)

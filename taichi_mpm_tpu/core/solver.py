@@ -109,6 +109,9 @@ class MPM:
         self.particles: Optional[Particles] = None
         self.t = jnp.float32(0.0)
         self._frame_jit = None
+        # work counters (reference update/plasticity/cutting counters,
+        # mpm.h:111-112; surfaced per VERDICT r1 item 9)
+        self.plasticity_counter = 0
         # CPIC rigid-body state (built lazily on the first type='rigid')
         self._rigid_builder = None
         self.bodies = None
@@ -487,15 +490,15 @@ class MPM:
     def _build_blocked_jit(self, n_substeps: int, cap: int):
         cfg = self.cfg
         colliders = tuple(self.colliders)
-        from taichi_mpm_tpu.ops.substep import blocked_frame
+        from taichi_mpm_tpu.ops.packed import packed_frame
 
         self._blocked_cap = cap
 
         def fn(p, t):
-            p, t, nmax, _ = blocked_frame(
+            p, t, nmax, _, plast = packed_frame(
                 p, t, cfg, colliders, cfg.base_dt, n_substeps, cap
             )
-            return p, t, nmax
+            return p, t, nmax, plast
 
         return jax.jit(fn)
 
@@ -553,7 +556,7 @@ class MPM:
             # on page-map overflow re-jit with a larger capacity and
             # re-run the frame from the (unmodified) pre-frame state.
             while True:
-                p2, t2, n_act = self._frame_jit(self.particles, self.t)
+                p2, t2, n_act, plast = self._frame_jit(self.particles, self.t)
                 n_act = int(n_act)
                 from taichi_mpm_tpu.ops.blocked import num_blocks
 
@@ -561,6 +564,7 @@ class MPM:
                 nbt = nb[0] * nb[1] * nb[2]
                 if n_act <= self._blocked_cap or self._blocked_cap >= nbt:
                     self.particles, self.t = p2, t2
+                    self.plasticity_counter += int(plast)
                     break
                 cap = int(min(nbt, -(-2 * n_act // 64) * 64))
                 self._frame_jit = self._build_blocked_jit(

@@ -268,6 +268,46 @@ def plast_visco(F, cdg, aux, params, dt):
     return F_new, tau_new, jnp.zeros_like(aux, dtype=jnp.int32)
 
 
+# -- CFL sound-speed dt limit (component form of models.allowed_dt) --------
+
+
+def allowed_dt(mat_id: int, F, aux, params, vol, mass, speed, dx):
+    """Per-particle allowed dt (particles.cpp:136-154,254-280,480-490);
+    +inf where the reference returns 0 = unconstrained."""
+    mu0, lam0 = params[0], params[1]
+    J = jnp.maximum(c_det(F), 1e-8)
+    rho0 = mass / jnp.maximum(vol, 1e-20)
+    if mat_id in (ELASTIC, SAND, VON_MISES, VISCO):
+        rho = rho0 / J
+        K = 2.0 * mu0 / 3.0 + lam0
+        c2 = 4.0 * mu0 / (3.0 * rho) + K * (1.0 - jnp.log(J)) / rho0
+        c = jnp.sqrt(jnp.maximum(c2, 1e-20))
+    elif mat_id == SNOW:
+        Jt = J * aux
+        rho = rho0 / jnp.maximum(Jt, 1e-8)
+        e = jnp.exp(params[2] * (1.0 - aux))
+        c = jnp.sqrt(jnp.maximum((lam0 * e + 2.0 * mu0 * e) / rho, 1e-20))
+    elif mat_id == WATER:
+        k, gamma = params[0], params[1]
+        c = jnp.sqrt(
+            jnp.maximum(
+                k * gamma / jnp.power(jnp.maximum(aux, 0.1), gamma - 1.0),
+                1e-20,
+            )
+        )
+    else:  # LINEAR, JELLY: unconstrained
+        return jnp.full_like(aux, jnp.inf)
+    return dx / (c + speed)
+
+
+def dispatch_allowed_dt(active_materials, mat, F, aux, params, vol, mass, speed, dx):
+    out = jnp.full_like(aux, jnp.inf)
+    for m in active_materials:
+        dm = allowed_dt(m, F, aux, params, vol, mass, speed, dx)
+        out = jnp.where(mat == m, dm, out)
+    return out
+
+
 FORCE_FNS = {
     ELASTIC: force_elastic,
     JELLY: force_jelly,

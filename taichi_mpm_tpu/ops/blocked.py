@@ -68,15 +68,21 @@ def block_id_of(x, cfg: SimConfig):
 def sort_particles(p, cfg: SimConfig):
     """Sort the particle pytree by block id (inactive slots to the end).
 
-    Returns (sorted particles, sorted keys, permutation). The pytree is
-    packed into one (P, F) f32 matrix first so the permutation is ONE
-    wide-row gather instead of 14 narrow ones (the narrow gathers
-    dominated the substep on TPU)."""
+    Returns (sorted particles, sorted keys, permutation)."""
     nbp = num_blocks_padded(cfg)
     total = 1
     for nn in nbp:
         total *= nn
     keys = jnp.where(p.active, block_id_of(p.x, cfg), total)
+    return sort_particles_by_keys(p, keys)
+
+
+def sort_particles_by_keys(p, keys):
+    """Sort the particle pytree by precomputed keys (the multichip path
+    keys by LOCAL-frame block ids while positions stay global). The
+    pytree is packed into one (P, F) f32 matrix first so the permutation
+    is ONE wide-row gather instead of 14 narrow ones (the narrow gathers
+    dominated the substep on TPU)."""
     order = jnp.argsort(keys, stable=True)
     keys_sorted = keys[order]
 

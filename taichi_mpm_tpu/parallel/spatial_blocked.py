@@ -3,20 +3,30 @@
 `parallel/spatial.py` decomposes the domain with the portable XLA
 transfers; this module runs the Pallas/record machinery per shard:
 
-  * each shard simulates its x-slab in a LOCAL coordinate frame shifted
+  * each shard simulates its x-slab in a LOCAL block-id frame shifted
     by one ghost block (local cell x = global x - s*Wc + 4), with a
-    local SimConfig of res_x = Wc + 8 — so the whole single-chip blocked
-    pipeline (packed sort, page map, P2G tiles, MXU record merge, window
-    assembly, G2P) runs unmodified on local data;
+    local SimConfig of res_x = Wc + 8. Particle POSITIONS stay global
+    in the carry; only the sort keys, page map and block origins live
+    in the local frame (prep takes explicit per-particle origins, so
+    the kernels never see a coordinate conversion);
   * after the record merge, the two overlapping block columns at each
     slab boundary are summed with ONE symmetric ppermute exchange per
     direction (both copies end up with identical complete sums, so the
-    nonlinear grid update may run redundantly and windows need no second
-    exchange — same invariant as spatial.halo_allreduce);
-  * particles that drift across slab boundaries migrate with the
-    fixed-budget ppermute machinery reused from parallel.spatial.
+    nonlinear grid update may run redundantly and windows need no
+    second exchange — same invariant as spatial.halo_allreduce);
+  * the sort is LAZY (drift-triggered), exactly like the single-chip
+    frame (ops.substep.blocked_frame): the re-sort predicate is the
+    pmax of per-shard drift so every shard takes the same branch, and
+    cross-boundary particle migration happens at re-sort time (drift
+    < 0.5 cells + the one-block ghost region keeps not-yet-migrated
+    particles exact in the meantime — their halo tiles land in the
+    exchanged boundary columns);
+  * migration is budgeted; the frame returns the pmax budget demand so
+    the driver can re-jit with a larger budget and re-run instead of
+    dropping particles (`run_spatial_blocked_frames`) — the overflow
+    discipline the page map already uses (MPM.step), VERDICT r1 #7.
 
-Limitations (round-1): 3D only, no CPIC in multi-chip, per-substep sort.
+Remaining (documented) gap: 1-D slab mesh only.
 """
 
 from __future__ import annotations
@@ -34,7 +44,7 @@ from taichi_mpm_tpu.config import SimConfig
 from taichi_mpm_tpu.core.state import Particles
 from taichi_mpm_tpu.core.transfer import g2p_finish
 from taichi_mpm_tpu.ops import blocked
-from taichi_mpm_tpu.ops.blocked import sort_particles
+from taichi_mpm_tpu.ops.blocked import sort_particles_by_keys
 from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
 from taichi_mpm_tpu.ops.p2g_pallas import CHUNK, p2g_blocked
 from taichi_mpm_tpu.ops.substep import (
@@ -63,16 +73,20 @@ def local_config(cfg: SimConfig, n_shards: int) -> SimConfig:
     )
 
 
-def _to_local(x, s, cfg: SimConfig, n_shards: int):
+def shard_offset_cells(s, cfg: SimConfig, n_shards: int):
+    """Global cell coordinate of local cell 0 (traced, per shard)."""
     Wc = slab_cells(cfg, n_shards)
-    off = (s * Wc - GHOST_CELLS).astype(jnp.float32) * cfg.dx
-    return x - jnp.asarray([off, 0.0, 0.0], jnp.float32)
+    return (s * Wc - GHOST_CELLS).astype(jnp.float32)
 
 
-def _to_global(x, s, cfg: SimConfig, n_shards: int):
-    Wc = slab_cells(cfg, n_shards)
-    off = (s * Wc - GHOST_CELLS).astype(jnp.float32) * cfg.dx
-    return x + jnp.asarray([off, 0.0, 0.0], jnp.float32)
+def _local_keys(p: Particles, s, cfg: SimConfig, lcfg: SimConfig, n_shards: int):
+    """LOCAL-frame block ids from global positions."""
+    off = shard_offset_cells(s, cfg, n_shards) * cfg.dx
+    x_loc = p.x - jnp.stack(
+        [off, jnp.zeros_like(off), jnp.zeros_like(off)], -1
+    )
+    total = blocked.total_blocks_padded(lcfg)
+    return jnp.where(p.active, blocked.block_id_of(x_loc, lcfg), total)
 
 
 def _boundary_planes(rec, pm, lcfg: SimConfig, cols):
@@ -93,7 +107,7 @@ def _boundary_planes(rec, pm, lcfg: SimConfig, cols):
             0.0,
         )
         planes.append(vals)
-    return jnp.stack(planes, 0), None
+    return jnp.stack(planes, 0)
 
 
 def _add_planes(rec, pm, lcfg: SimConfig, cols, planes):
@@ -107,7 +121,7 @@ def _add_planes(rec, pm, lcfg: SimConfig, cols, planes):
         slot = pm["slot_map"][bid]
         ok = (slot < K)[..., None]
         rec = rec.at[jnp.minimum(slot, K - 1).reshape(-1)].add(
-            jnp.where(ok, planes[i], 0.0).reshape(-1, 256)
+            jnp.where(ok, planes[i], 0.0).reshape(-1, rec.shape[-1])
         )
     return rec
 
@@ -119,8 +133,8 @@ def exchange_boundary_records(rec, pm, lcfg: SimConfig, axis: str, n_shards: int
     {Wb, Wb+1} overlap the right neighbor's low cols {0, 1}."""
     lo_cols = (0, 1)
     hi_cols = (Wb, Wb + 1)
-    lo_planes, _ = _boundary_planes(rec, pm, lcfg, lo_cols)
-    hi_planes, _ = _boundary_planes(rec, pm, lcfg, hi_cols)
+    lo_planes = _boundary_planes(rec, pm, lcfg, lo_cols)
+    hi_planes = _boundary_planes(rec, pm, lcfg, hi_cols)
     right = [(i, i + 1) for i in range(n_shards - 1)]
     left = [(i + 1, i) for i in range(n_shards - 1)]
     from_left = jax.lax.ppermute(hi_planes, axis, right)   # their hi -> my lo
@@ -130,32 +144,12 @@ def exchange_boundary_records(rec, pm, lcfg: SimConfig, axis: str, n_shards: int
     return rec
 
 
-def spatial_blocked_substep(
-    p: Particles, t, cfg: SimConfig, colliders, dt, axis: str,
-    n_shards: int, K: int, budget: int, interpret: bool = False,
-):
-    """One substep: local blocked pipeline + record-plane halo exchange
-    + particle migration. Particle positions stay GLOBAL in the carry;
-    the local frame exists only inside the substep."""
-    s = jax.lax.axis_index(axis)
-    lcfg = local_config(cfg, n_shards)
-    Wb = slab_cells(cfg, n_shards) // 4
-    n = p.capacity
-    pw = _round_up(n, CHUNK)
-
-    p_loc = dataclasses.replace(p, x=_to_local(p.x, s, cfg, n_shards))
-    p_loc, keys, _ = sort_particles(p_loc, lcfg)
-    pm = build_page_map_full(keys, lcfg, K)
-
-    pdata = prep_p2g(p_loc, keys, lcfg, dt, origin=pm["origin"])
-    tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
-    rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
-    rec = exchange_boundary_records(rec, pm, lcfg, axis, n_shards, Wb)
-
-    # shard 0's low ghost column is global block -1 (nodes < 0): the
-    # single-chip path has no owner for those nodes and drops them —
-    # zero the column so multi-chip matches exactly
+def zero_domain_edge_ghosts(rec, pm, lcfg: SimConfig, s, n_shards: int):
+    """Shard 0's low / shard S-1's high ghost column is outside the
+    global domain (the single-chip path has no owner for those nodes
+    and drops them) — zero it so multi-chip matches exactly."""
     nbp = blocked.num_blocks_padded(lcfg)
+    K = pm["ids"].shape[0]
     by = jnp.arange(nbp[1], dtype=jnp.int32)[:, None]
     bz = jnp.arange(nbp[2], dtype=jnp.int32)[None, :]
     bid0 = (0 * nbp[1] + by) * nbp[2] + bz
@@ -164,13 +158,12 @@ def spatial_blocked_substep(
     rec = rec.at[jnp.minimum(slot0, K - 1).reshape(-1)].multiply(
         jnp.where(ok0, 0.0, 1.0).reshape(-1, 1)
     )
+    return rec
 
-    # grid update needs GLOBAL node coordinates for the colliders:
-    # shift the collider frame instead of the nodes
-    Wc = slab_cells(cfg, n_shards)
-    xoff = (s * Wc - GHOST_CELLS).astype(jnp.float32) * cfg.dx
 
-    shifted = tuple(
+def shifted_colliders(colliders, xoff):
+    """Colliders evaluated at x + xoff (grid ops run in local coords)."""
+    return tuple(
         dataclasses.replace(
             c,
             sdf=(lambda c_: lambda x, tt: c_.sdf(
@@ -186,7 +179,34 @@ def spatial_blocked_substep(
         )
         for c in colliders
     )
-    vrec = grid_update_flat(rec, pm["ids"], lcfg, shifted, t, dt)
+
+
+def spatial_blocked_substep_presorted(
+    p: Particles, keys, pm, t, cfg: SimConfig, lcfg: SimConfig, colliders,
+    dt, axis: str, s, n_shards: int, interpret: bool = False,
+):
+    """One substep against a frozen local sort/page map. Positions are
+    GLOBAL; pm['origin'] is local, so prep gets origin + shard offset
+    (block-local coordinates are then identical to single-chip)."""
+    K = pm["ids"].shape[0]
+    Wb = slab_cells(cfg, n_shards) // 4
+    n = p.capacity
+    pw = _round_up(n, CHUNK)
+    off_cells = shard_offset_cells(s, cfg, n_shards)
+    origin_g = pm["origin"] + jnp.stack(
+        [off_cells, jnp.zeros_like(off_cells), jnp.zeros_like(off_cells)], -1
+    )
+
+    pdata = prep_p2g(p, keys, cfg, dt, origin=origin_g)
+    tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
+    rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+    rec = exchange_boundary_records(rec, pm, lcfg, axis, n_shards, Wb)
+    rec = zero_domain_edge_ghosts(rec, pm, lcfg, s, n_shards)
+
+    xoff = off_cells * cfg.dx
+    vrec = grid_update_flat(
+        rec, pm["ids"], lcfg, shifted_colliders(colliders, xoff), t, dt
+    )
     gtiles = blocked.windows_mm(vrec, pm["nbr"])
 
     keys2d = jnp.pad(
@@ -196,15 +216,11 @@ def spatial_blocked_substep(
     pout = g2p_blocked(keys2d, posg, gtiles, jnp.asarray([K], jnp.int32),
                        interpret=interpret)
     pout = pout[:, :n].T
-    v_new = jnp.where(p_loc.active[:, None], pout[:, 0:3], 0.0)
-    b_new = jnp.where(p_loc.active[:, None, None], pout[:, 3:12].reshape(n, 3, 3), 0.0)
-    # advect in the local frame but clamp in the GLOBAL frame: convert
-    # back first, then finish with the global config
-    p_glob = dataclasses.replace(p_loc, x=_to_global(p_loc.x, s, cfg, n_shards))
-    p_glob = g2p_finish(p_glob, v_new, b_new, cfg, dt)
-
-    p_glob, dropped = migrate(p_glob, s, axis, cfg, n_shards, budget)
-    return p_glob, t + dt, dropped, pm["n_act"]
+    v_new = jnp.where(p.active[:, None], pout[:, 0:3], 0.0)
+    b_new = jnp.where(p.active[:, None, None], pout[:, 3:12].reshape(n, 3, 3), 0.0)
+    p = g2p_finish(p, v_new, b_new, cfg, dt)  # GLOBAL clamp
+    vmax = jnp.max(jnp.where(p.active[:, None], jnp.abs(p.v), 0.0))
+    return p, t + dt, vmax, pm["n_act"]
 
 
 def build_spatial_blocked_frame(
@@ -212,22 +228,56 @@ def build_spatial_blocked_frame(
     axis: str = "x", K: int = 1024, budget: int = 256,
     interpret: bool = False,
 ):
-    """Jitted shard_map frame over a 1-D mesh using the blocked pipeline."""
+    """Jitted shard_map frame over a 1-D mesh using the blocked pipeline
+    with lazy re-sort + migration-at-resort.
+
+    Returns fn(p, t) -> (p, t, needed, n_act): `needed` is the pmax
+    migration-budget demand (re-jit with budget >= needed and re-run if
+    it exceeded `budget` — run_spatial_blocked_frames does this)."""
     n_shards = mesh.shape[axis]
+    lcfg = local_config(cfg, n_shards)
 
     def local_frame(p: Particles, t):
-        def body(carry, _):
-            pp, tt, dr, na = carry
-            pp, tt, d2, n_act = spatial_blocked_substep(
-                pp, tt, cfg, colliders, cfg.base_dt, axis, n_shards, K,
-                budget, interpret=interpret,
-            )
-            return (pp, tt, dr + d2, jnp.maximum(na, n_act)), None
+        s = jax.lax.axis_index(axis)
 
-        (p, t, dropped, n_act), _ = jax.lax.scan(
-            body, (p, t, jnp.int32(0), jnp.int32(0)), None, length=n_substeps
+        def resort(p):
+            p, needed = migrate(p, s, axis, cfg, n_shards, budget,
+                                count_only_overflow=False)
+            keys = _local_keys(p, s, cfg, lcfg, n_shards)
+            p, keys, _ = sort_particles_by_keys(p, keys)
+            return p, keys, build_page_map_full(keys, lcfg, K), needed
+
+        p, keys, pm, needed0 = resort(p)
+
+        def body(carry, _):
+            p, keys, pm, drift, t, need_max, na = carry
+            p, t, vmax, n_act = spatial_blocked_substep_presorted(
+                p, keys, pm, t, cfg, lcfg, colliders, cfg.base_dt, axis, s,
+                n_shards, interpret=interpret,
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            # uniform predicate across shards: collective max
+            need = jax.lax.pmax(drift, axis) >= 0.45
+
+            def do_resort(p):
+                p = jax.lax.optimization_barrier(p)
+                return resort(p)
+
+            def keep(p):
+                return p, keys, pm, jnp.int32(0)
+
+            p, keys, pm, needed = jax.lax.cond(need, do_resort, keep, p)
+            drift = jnp.where(need, 0.0, drift)
+            return (p, keys, pm, drift, t, jnp.maximum(need_max, needed),
+                    jnp.maximum(na, n_act)), None
+
+        carry = (p, keys, pm, jnp.float32(0.0), t, needed0, pm["n_act"])
+        (p, keys, pm, _, t, need_max, n_act), _ = jax.lax.scan(
+            body, carry, None, length=n_substeps
         )
-        return p, t, jax.lax.psum(dropped, axis), jax.lax.pmax(n_act, axis)
+        return (
+            p, t, jax.lax.pmax(need_max, axis), jax.lax.pmax(n_act, axis)
+        )
 
     pspec = P(axis)
     p_specs = jax.tree.map(
@@ -247,6 +297,153 @@ def build_spatial_blocked_frame(
     return jax.jit(fn)
 
 
-# migration uses parallel.spatial's slab definition (cells per shard):
-# it computes destinations from GLOBAL positions, which is exactly the
-# frame we return to before migrating.
+def build_spatial_cpic_frame(
+    cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    axis: str = "x", K: int = 1024, budget: int = 256,
+    near_budget: int = 4096, b1: int = 0, interpret: bool = False,
+):
+    """Jitted shard_map CPIC frame: the coupled (colored) transfers on
+    the blocked pipeline per shard (VERDICT r1 #2). Rigid bodies are
+    REPLICATED; per-shard impulse partial sums combine with psum inside
+    the substep (the reference's apply_tmp_impulse pattern,
+    transfer.cpp:195-197,578-580); the CDF rasterizes the replicated
+    boundary-particle set into each shard's local grid window; the
+    re-sort is lazy with a pmax-shared predicate and migration at
+    re-sort time.
+
+    Returns fn(p, bodies, t) -> (p, bodies, t, needed, n_act, n_near,
+    n_coarse) — the driver grows budget / K / near budgets and re-runs
+    the frame on overflow."""
+    from taichi_mpm_tpu.rigid.cpic_blocked import (
+        cpic_blocked_substep_presorted,
+    )
+
+    n_shards = mesh.shape[axis]
+    lcfg = local_config(cfg, n_shards)
+    Wb = slab_cells(cfg, n_shards) // 4
+
+    def local_frame(p: Particles, bodies, t):
+        s = jax.lax.axis_index(axis)
+        off_cells = shard_offset_cells(s, cfg, n_shards)
+        xoff = off_cells * cfg.dx
+        world_off = jnp.stack(
+            [xoff, jnp.zeros_like(xoff), jnp.zeros_like(xoff)]
+        )
+        gcolls = shifted_colliders(scene.colliders, xoff)
+
+        # exchange() needs the substep's CURRENT page map; it is threaded
+        # through a one-slot cell written at the top of each (traced-once)
+        # scan body before the substep runs.
+        pm_cell = [None]
+
+        def exchange(rec):
+            rec = exchange_boundary_records(rec, pm_cell[0], lcfg, axis,
+                                            n_shards, Wb)
+            return zero_domain_edge_ghosts(rec, pm_cell[0], lcfg, s, n_shards)
+
+        def resort(p):
+            p, needed = migrate(p, s, axis, cfg, n_shards, budget,
+                                count_only_overflow=False)
+            keys = _local_keys(p, s, cfg, lcfg, n_shards)
+            p, keys, _ = sort_particles_by_keys(p, keys)
+            return p, keys, build_page_map_full(keys, lcfg, K), needed
+
+        p, keys, pm, needed0 = resort(p)
+
+        def body(carry, _):
+            p, keys, pm, bodies, drift, t, need_max, na, nn, nc = carry
+            pm_cell[0] = pm
+            origin_g = pm["origin"] + jnp.stack(
+                [off_cells, jnp.zeros_like(off_cells),
+                 jnp.zeros_like(off_cells)], -1
+            )
+            (p, bodies, t), n_near, n_coarse, vmax = (
+                cpic_blocked_substep_presorted(
+                    p, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
+                    near_budget, b1, interpret=interpret, lcfg=lcfg,
+                    world_off=world_off, axis=axis, origin=origin_g,
+                    grid_colliders=gcolls, exchange_fn=exchange,
+                )
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(drift, axis) >= 0.45
+
+            def do_resort(p):
+                return resort(jax.lax.optimization_barrier(p))
+
+            def keep(p):
+                return p, keys, pm, jnp.int32(0)
+
+            p, keys, pm, needed = jax.lax.cond(need, do_resort, keep, p)
+            drift = jnp.where(need, 0.0, drift)
+            return (p, keys, pm, bodies, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"]),
+                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse)), None
+
+        carry = (p, keys, pm, bodies, jnp.float32(0.0), t, needed0,
+                 pm["n_act"], jnp.int32(0), jnp.int32(0))
+        (p, keys, pm, bodies, _, t, need_max, na, nn, nc), _ = jax.lax.scan(
+            body, carry, None, length=n_substeps
+        )
+        return (
+            p, bodies, t,
+            jax.lax.pmax(need_max, axis), jax.lax.pmax(na, axis),
+            jax.lax.pmax(nn, axis), jax.lax.pmax(nc, axis),
+        )
+
+    pspec = P(axis)
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P()),  # bodies replicated (prefix spec)
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_spatial_blocked_frames(
+    p, t, cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    n_frames: int = 1, axis: str = "x", K: int = 1024, budget: int = 256,
+    interpret: bool = False,
+):
+    """Frame driver with migration-budget AND page-map overflow
+    auto-grow: on overflow, re-jit with a doubled capacity and re-run
+    the frame from the intact pre-frame state — zero particles lost
+    (the reference never loses particles to threading, mpm.cpp:770-918;
+    VERDICT r1 #7)."""
+    frame = build_spatial_blocked_frame(
+        cfg, colliders, n_substeps, mesh, axis, K, budget, interpret
+    )
+    n_shards = mesh.shape[axis]
+    local_cap = p.x.shape[0] // n_shards
+    for _ in range(n_frames):
+        while True:
+            p2, t2, needed, n_act = frame(p, t)
+            needed, n_act = int(needed), int(n_act)
+            grow_budget = needed > budget
+            grow_K = n_act > K
+            if not (grow_budget or grow_K):
+                p, t = p2, t2
+                break
+            if needed >= local_cap:
+                raise RuntimeError(
+                    f"shard capacity exhausted ({needed} arrivals vs "
+                    f"{local_cap} local slots); reshard with more slack"
+                )
+            if grow_budget:
+                budget = -(-2 * needed // 64) * 64
+            if grow_K:
+                K = -(-2 * n_act // 64) * 64
+            frame = build_spatial_blocked_frame(
+                cfg, colliders, n_substeps, mesh, axis, K, budget, interpret
+            )
+    return p, t, dict(K=K, budget=budget)

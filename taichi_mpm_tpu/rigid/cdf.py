@@ -117,7 +117,48 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimCo
     grid_dist = jnp.where(has, (key >> 8).astype(jnp.float32) / _DIST_SCALE * cfg.dx, 0.0)
     shifts = jnp.asarray([2 * r for r in range(num_rigids)], jnp.int32)
     grid_states = jnp.sum(tags << shifts[None, :], axis=1).astype(jnp.int32)
+    if d == 2 and cfg.cdf_expand:
+        grid_states = _expand_states_2d(
+            grid_states, num_rigids, cfg, int(cfg.cdf_expand)
+        )
     return grid_dist, grid_rid, grid_states
+
+
+def _expand_states_2d(grid_states, num_rigids: int, cfg: SimConfig, passes: int):
+    """2D CDF tag dilation (rigid_transfer.cpp:79-111, the cdf_expand
+    knob): per pass and axis, interior nodes adopt the tag+sign bits of
+    neighbors for rigids they are not yet touched by. Neighbor states
+    are read from the pre-pass grid; the two axis updates compose
+    sequentially like the reference's in-place tmp array."""
+    nodes = cfg.grid_nodes
+    touched = jnp.int32(state_mask(num_rigids))
+    s = grid_states.reshape(nodes)
+
+    def upd(state, nei):
+        add = (nei & ~state) & touched
+        return state | (nei & (add | (add >> 1)))
+
+    for _ in range(passes):
+        for k in range(2):
+            nei_p = jnp.roll(s, -1, axis=k)
+            nei_m = jnp.roll(s, 1, axis=k)
+            # zero the wrapped border rows (reference region excludes them)
+            idx = [slice(None), slice(None)]
+            idx[k] = slice(-1, None)
+            nei_p = nei_p.at[tuple(idx)].set(0)
+            idx[k] = slice(0, 1)
+            nei_m = nei_m.at[tuple(idx)].set(0)
+            s2 = upd(s, nei_p)
+            s2 = upd(s2, nei_m)
+            # only interior nodes update (region from axis(k) to
+            # res - axis(k), rigid_transfer.cpp:83)
+            interior = jnp.ones(nodes, bool)
+            idx[k] = slice(0, 1)
+            interior = interior.at[tuple(idx)].set(False)
+            idx[k] = slice(nodes[k] - 2, None)
+            interior = interior.at[tuple(idx)].set(False)
+            s = jnp.where(interior, s2, s)
+    return s.reshape(-1)
 
 
 def gather_cdf(p_x, p_states, grid_dist, grid_rid, grid_states, num_rigids: int, cfg: SimConfig):

@@ -218,19 +218,23 @@ def cpic_substep(p: Particles, bodies: RigidBodies, t, cfg: SimConfig, scene, dt
 
     R = bodies.num
 
-    if scene.collision is not None:
-        dirs = jnp.asarray(coll.icosphere_directions())
-        bodies = coll.rigidify(bodies, scene.hull_verts, scene.collision, dirs, dt)
-
-    if scene.articulations:
-        bodies = artic.articulate(bodies, scene.articulations, dt)
-
-    xb, _, elem_w = boundary_particle_world(
-        bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal, scene.bp_elem
-    )
-    grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
-        xb, elem_w, scene.bp_rid, R, cfg
-    )
+    # coupling_iterations x {rigidify, articulate, rasterize}
+    # (mpm.cpp:467-471)
+    for _ in range(max(1, cfg.coupling_iterations)):
+        if scene.collision is not None:
+            dirs = jnp.asarray(coll.icosphere_directions())
+            bodies = coll.rigidify(
+                bodies, scene.hull_verts, scene.collision, dirs, dt
+            )
+        if scene.articulations:
+            bodies = artic.articulate(bodies, scene.articulations, dt)
+        xb, _, elem_w = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
+            xb, elem_w, scene.bp_rid, R, cfg
+        )
     states, bdist, bnormal, near_b = cdf.gather_cdf(
         p.x, p.states, grid_dist, grid_rid, grid_states, R, cfg
     )

@@ -167,10 +167,15 @@ def _near_values(p: Particles, idx, cfg: SimConfig, dt):
 
 
 def p2g_correction(
-    p, idx, valid, pm, grid_states, grid_rid, bodies, rec, cfg: SimConfig, dt
+    p, idx, valid, pm, grid_states, grid_rid, bodies, rec, cfg: SimConfig, dt,
+    world_off=None,
 ):
     """Undo the plain scatter at color-incompatible nodes for the
-    near-rigid subset; turn it into rigid impulses."""
+    near-rigid subset; turn it into rigid impulses.
+
+    In the multichip local frame, p.x / grid arrays / cfg are LOCAL and
+    `world_off` (3,) shifts node positions back to world coordinates for
+    the rigid-dynamics terms (velocity_at / torque arms)."""
     K = pm["ids"].shape[0]
     R = bodies.num
     smask = cdf.state_mask(R)
@@ -223,6 +228,8 @@ def p2g_correction(
         # rigid impulse (transfer.cpp:241-252)
         rid_safe = jnp.clip(nrid, 0, R - 1)
         xg = nidx.astype(jnp.float32) * cfg.dx
+        if world_off is not None:
+            xg = xg + world_off
         rigid_v = velocity_at(bodies, rid_safe, xg)
         fric = _friction_of(bodies, nrid, pstates)
         dv = vel - friction_project(vel, rigid_v, bnormal, fric)
@@ -235,7 +242,8 @@ def p2g_correction(
 
 
 def g2p_correction(
-    p, idx, valid, pm, grid_states, grid_rid, bodies, vrec, cfg: SimConfig, dt
+    p, idx, valid, pm, grid_states, grid_rid, bodies, vrec, cfg: SimConfig, dt,
+    world_off=None,
 ):
     """Per-offset corrections for the near-rigid subset: replace the
     gathered grid velocity at incompatible nodes by the CPIC ghost value
@@ -279,6 +287,8 @@ def g2p_correction(
 
         rid_safe = jnp.clip(nrid, 0, R - 1)
         xg = nidx.astype(jnp.float32) * cfg.dx
+        if world_off is not None:
+            xg = xg + world_off
         v_g = jnp.where((nrid >= 0)[:, None], velocity_at(bodies, rid_safe, xg), 0.0)
         fric = _friction_of(bodies, nrid, pstates)
         fake_v = jnp.where(
@@ -298,11 +308,28 @@ def g2p_correction(
 def cpic_blocked_substep_presorted(
     p: Particles, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
     near_budget: int, b1: int = 0, interpret: bool = False,
+    lcfg: SimConfig = None, world_off=None, axis: str = None,
+    origin=None, grid_colliders=None, exchange_fn=None,
 ):
     """One coupled substep against an existing sort + frozen page map
     (the CPIC analog of ops.substep.substep_presorted — particles may
     have drifted up to ~0.5 cells from their sort-time blocks; the
     7-node halo tiles and the dilated page map absorb that).
+
+    Multichip (shard_map) mode — the reference's coupled transfers
+    promoted to the distributed setting (VERDICT r1 #2):
+      * lcfg / world_off: the shard's LOCAL grid config and the world
+        offset of local cell 0 — positions stay world-global; the CDF
+        and page-map machinery run in local coordinates;
+      * origin: per-particle block origins ALREADY including the shard
+        offset (so prep's block-local coordinates match single-chip);
+      * exchange_fn(rec): boundary-record halo exchange, applied AFTER
+        the P2G correction (each shard un-scatters only its own
+        particles, so the exchange still produces identical complete
+        sums on both copies of a boundary column);
+      * axis: psum rigid impulses across shards before applying them —
+        the reference's apply_tmp_impulse accumulator pattern
+        (transfer.cpp:195-197,578-580) over ICI.
 
     Returns ((p, bodies, t+dt), n_near, n_coarse, vmax) where vmax is
     the max |v| component actually used for advection this substep
@@ -313,24 +340,44 @@ def cpic_blocked_substep_presorted(
     from taichi_mpm_tpu.rigid import collision as coll
     from taichi_mpm_tpu.rigid.body import advance
 
+    gcfg = lcfg if lcfg is not None else cfg  # grid-frame config
+
+    def _psum(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
+
     R = bodies.num
     n = p.capacity
     pw = _round_up(n, CHUNK)
     near_budget = min(near_budget, n)
     K = pm["ids"].shape[0]
 
-    # -- rigid prologue (same order as cpic_substep / reference substep)
-    if scene.collision is not None:
-        dirs = jnp.asarray(coll.icosphere_directions())
-        bodies = coll.rigidify(bodies, scene.hull_verts, scene.collision, dirs, dt)
-    if scene.articulations:
-        bodies = artic.articulate(bodies, scene.articulations, dt)
-
-    xb, _, elem_w = boundary_particle_world(
-        bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal, scene.bp_elem
-    )
-    grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
-        xb, elem_w, scene.bp_rid, R, cfg
+    # -- rigid prologue (same order as cpic_substep / reference substep,
+    # coupling_iterations x {rigidify, articulate, rasterize},
+    # mpm.cpp:467-471). In multichip mode every shard runs this
+    # identically on replicated bodies (deterministic, collective-free).
+    for _ in range(max(1, cfg.coupling_iterations)):
+        if scene.collision is not None:
+            dirs = jnp.asarray(coll.icosphere_directions())
+            bodies = coll.rigidify(
+                bodies, scene.hull_verts, scene.collision, dirs, dt
+            )
+        if scene.articulations:
+            bodies = artic.articulate(bodies, scene.articulations, dt)
+        xb, _, elem_w = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        if world_off is not None:
+            xb_g = xb - world_off
+            elem_g = elem_w - world_off
+        else:
+            xb_g, elem_g = xb, elem_w
+        grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
+            xb_g, elem_g, scene.bp_rid, R, gcfg
+        )
+    p_loc = (
+        dataclasses.replace(p, x=p.x - world_off)
+        if world_off is not None else p
     )
 
     # CDF gather restricted to the compacted near-rigid subset — the
@@ -339,10 +386,10 @@ def cpic_blocked_substep_presorted(
     # zero/old state correctly: any particle carrying affinity bits is
     # in the set by construction, so leaving the neighborhood clears it.
     idx, valid, n_near, n_coarse = compact_near_rigid(
-        p, grid_states, cfg, near_budget, b1
+        p_loc, grid_states, gcfg, near_budget, b1
     )
     st_c, bd_c, bn_c, nb_c = cdf.gather_cdf(
-        p.x[idx], p.states[idx], grid_dist, grid_rid, grid_states, R, cfg
+        p_loc.x[idx], p.states[idx], grid_dist, grid_rid, grid_states, R, gcfg
     )
     n = p.capacity
     states = jnp.zeros((n,), jnp.int32).at[idx].set(jnp.where(valid, st_c, 0))
@@ -354,24 +401,38 @@ def cpic_blocked_substep_presorted(
     p = dataclasses.replace(
         p, states=states, bdist=bdist, bnormal=bnormal, near_b=near_b
     )
+    p_loc = dataclasses.replace(
+        p_loc, states=states, bdist=bdist, bnormal=bnormal, near_b=near_b
+    )
 
     # -- plain blocked P2G over all particles (already sorted)
-    pdata = prep_p2g(p, keys, cfg, dt, origin=pm["origin"])
+    pdata = prep_p2g(
+        p, keys, cfg, dt, origin=origin if origin is not None else pm["origin"]
+    )
     tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
     rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
 
     # -- CPIC P2G correction on the compacted near-rigid subset
+    # (BEFORE the halo exchange: each shard un-scatters its own
+    # particles from its own pre-exchange records)
     rec, J1, tau1 = p2g_correction(
-        p, idx, valid, pm, grid_states, grid_rid, bodies, rec, cfg, dt
+        p_loc, idx, valid, pm, grid_states, grid_rid, bodies, rec, gcfg, dt,
+        world_off=world_off,
     )
-    bodies = apply_impulses(bodies, J1, tau1)
+    if exchange_fn is not None:
+        rec = exchange_fn(rec)
+    bodies = apply_impulses(bodies, _psum(J1), _psum(tau1))
 
     if scene.colliders:
         bodies = coll.rigid_levelset_collision(
             bodies, xb, scene.bp_rid, scene.colliders, t, dt
         )
 
-    vrec = grid_update_flat(rec, pm["ids"], cfg, scene.colliders, t, dt)
+    vrec = grid_update_flat(
+        rec, pm["ids"], gcfg,
+        grid_colliders if grid_colliders is not None else scene.colliders,
+        t, dt,
+    )
     gtiles = blocked.windows_mm(vrec, pm["nbr"])
 
     # -- plain blocked G2P over all particles
@@ -387,7 +448,8 @@ def cpic_blocked_substep_presorted(
 
     # -- CPIC G2P correction
     dv, dB, rid_last_c = g2p_correction(
-        p, idx, valid, pm, grid_states, grid_rid, bodies, vrec, cfg, dt
+        p_loc, idx, valid, pm, grid_states, grid_rid, bodies, vrec, gcfg, dt,
+        world_off=world_off,
     )
     v_new = v_new.at[idx].add(jnp.where(valid[:, None], dv, 0.0))
     b_new = b_new.at[idx].add(jnp.where(valid[:, None, None], dB, 0.0))
@@ -411,7 +473,7 @@ def cpic_blocked_substep_presorted(
         bodies, jnp.clip(rid_last, 0, R - 1), dvp * p.mass[:, None], p.x,
         pen & (rid_last >= 0),
     )
-    bodies = apply_impulses(bodies, J2, tau2)
+    bodies = apply_impulses(bodies, _psum(J2), _psum(tau2))
 
     if cfg.particle_collision:
         p = particle_collision_resolution(p, cfg, scene.colliders, t)

@@ -64,3 +64,52 @@ class TestAsyncMPM:
         sim.add_particles("jelly", pos=_block(), E=5e4, nu=0.3)
         sim.step()
         assert sim.update_counter == sim.last_substeps * 64
+
+
+class TestPackedAdaptive:
+    def test_packed_adaptive_matches_oracle_adaptive(self):
+        """packed_adaptive_frame (the Pallas-path async, VERDICT r1 #3)
+        vs adaptive_frame_fn on the oracle substep: same dt schedule,
+        same trajectories."""
+        import dataclasses
+        import jax.numpy as jnp
+        from taichi_mpm_tpu.config import SimConfig
+        from taichi_mpm_tpu.core.adaptive import adaptive_frame_fn
+        from taichi_mpm_tpu.core.state import empty_particles
+        from taichi_mpm_tpu.materials import models as materials
+        from taichi_mpm_tpu.ops.packed import packed_adaptive_frame
+
+        rng = np.random.default_rng(0)
+        n = 1200
+        cfg = SimConfig(res=(32, 32, 32), base_dt=4e-4, gravity=(0.0, -10.0, 0.0))
+        mid, params, aux0 = materials.pack_params("elastic", E=2e4, nu=0.35)
+        p = empty_particles(n, 3)
+        p = dataclasses.replace(
+            p,
+            x=p.x.at[:].set(rng.uniform(0.25, 0.75, (n, 3)).astype(np.float32)),
+            v=p.v.at[:].set(rng.standard_normal((n, 3)).astype(np.float32)),
+            mat=p.mat.at[:].set(mid),
+            params=p.params.at[:].set(np.asarray(params, np.float32)),
+            aux=p.aux.at[:].set(aux0),
+            mass=p.mass.at[:].set(1e-3),
+            vol=p.vol.at[:].set(1e-6),
+            active=p.active.at[:].set(True),
+        )
+        cfg = cfg.with_materials([mid])
+        frame_dt, unit = 2e-3, 1e-6
+
+        p1, t1, n1 = adaptive_frame_fn(
+            p, jnp.float32(0.0), cfg, (), frame_dt, unit, cfg.base_dt
+        )
+        p2, t2, n2, nmax = packed_adaptive_frame(
+            p, jnp.float32(0.0), cfg, (), frame_dt, unit, cfg.base_dt, 512,
+            interpret=True,
+        )
+        assert abs(float(t1) - float(t2)) < 1e-6
+        x1 = np.asarray(p1.x)[np.asarray(p1.active)]
+        x2 = np.asarray(p2.x)[np.asarray(p2.active)]
+        o1, o2 = np.lexsort(x1.T), np.lexsort(x2.T)
+        assert np.allclose(x1[o1], x2[o2], atol=1e-4)
+        # substep counts agree within one (dt schedules can differ by
+        # one fp-rounding snap)
+        assert abs(int(n1) - int(n2)) <= 1

