@@ -11,6 +11,11 @@ small one (125k). The value is per-chip throughput; vs_baseline compares it
 to the per-chip share of the BASELINE.md target (>=1e9 particle-steps/sec
 at 10M particles on a v5p-8, i.e. 1e9/8 per chip — note the target chip is
 a v5p with ~3.4x this v5e's HBM bandwidth).
+
+BENCH_MODE=p2g|g2p runs the kernel microbenchmarks instead (the
+reference's benchmark_rasterize / benchmark_resample loops,
+mpm.cpp:516-524,553-562): the P2G / G2P Pallas kernel alone, x20 per
+timed repetition, reporting particle-transfers/sec.
 """
 
 import json
@@ -18,12 +23,87 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
+
+
+def _bench_kernel(mode: str, cells: int, repeats: int):
+    """P2G-only / G2P-only microbenchmark on the benchmark scene's
+    sorted state (one jitted x20 loop per timing, like the reference's
+    while(true) { rasterize x20 } timers)."""
+    from taichi_mpm_tpu.ops import blocked, packed
+    from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
+    from taichi_mpm_tpu.ops.p2g_pallas import BATCH, p2g_blocked_batched
+    from taichi_mpm_tpu.scenes import benchmark_cube
+
+    sim = benchmark_cube(cells=cells, res=125, material="jelly", E=2e4,
+                         nu=0.35)
+    sim._finalize()
+    cfg = sim.cfg
+    n = cells ** 3 * 8
+    st = packed.pack_particles(sim.particles)
+    st, keys = packed.sort_packed(st, cfg)
+    K = -(-int(1.5 * cells ** 3) // (64 * BATCH)) * 64 * BATCH
+    pm = packed.build_page_map_packed(keys, cfg, K)
+    pdata, (px, py, pz) = packed.prep_packed(st, keys, cfg, cfg.base_dt)
+    pw = st.shape[0] // packed.NCH
+    zero = jnp.zeros((pw,), jnp.float32)
+    posg = jnp.stack([px, py, pz, zero, zero, zero, zero, zero], 0)
+
+    if mode == "p2g":
+        @jax.jit
+        def loop(pdata):
+            def body(c, _):
+                t = p2g_blocked_batched(pm["s_arr"], pm["e_arr"], pdata)
+                return c + t[0, 0, 0], None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=20)
+            return c
+        arg = pdata
+    else:
+        tiles = p2g_blocked_batched(pm["s_arr"], pm["e_arr"], pdata)
+        rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+        from taichi_mpm_tpu.ops.substep import grid_update_flat
+
+        vrec = grid_update_flat(rec, pm["ids"], cfg, (), 0.0, cfg.base_dt)
+        gtiles = blocked.windows_mm(vrec, pm["nbr"])
+        keys2d = pm["slot_keys"][None, :]
+        nbd = jnp.asarray([K], jnp.int32)
+
+        @jax.jit
+        def loop(gtiles):
+            def body(c, _):
+                out = g2p_blocked(keys2d, posg, gtiles, nbd)
+                return c + out[0, 0], None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=20)
+            return c
+        arg = gtiles
+
+    float(loop(arg))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(loop(arg))
+        best = min(best, time.perf_counter() - t0)
+    rate = n * 20 / best
+    print(
+        json.dumps(
+            {
+                "metric": f"{mode}_particle_transfers_per_sec",
+                "value": rate,
+                "unit": "particle-transfers/s/chip",
+                "vs_baseline": rate / (1e9 / 8),
+            }
+        )
+    )
 
 
 def main():
     cells = int(os.environ.get("BENCH_CELLS", "100"))  # 100 -> 8M particles
     substeps = int(os.environ.get("BENCH_SUBSTEPS", "20"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    mode = os.environ.get("BENCH_MODE", "frame")
+
+    if mode in ("p2g", "g2p"):
+        return _bench_kernel(mode, cells, repeats)
 
     from taichi_mpm_tpu.scenes import benchmark_cube
 

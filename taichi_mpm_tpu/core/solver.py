@@ -337,9 +337,9 @@ class MPM:
             if use_blocked is None:
                 use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
             if use_blocked and cfg.dim == 3:
-                near, b1 = self._near_budget_cap()
+                near, b1, Kr = self._near_budget_cap()
                 return self._build_cpic_blocked_jit(
-                    n_substeps, self._active_block_cap(), near, b1
+                    n_substeps, self._active_block_cap(), near, b1, Kr
                 )
             from taichi_mpm_tpu.rigid.cpic import cpic_substep
 
@@ -466,10 +466,20 @@ class MPM:
 
         budget = int(min(cap, -(-max(1024, int(1.5 * n_exact)) // 256) * 256))
         b1 = int(min(cap, -(-max(4 * 1024, int(1.5 * n_coarse)) // 256) * 256))
-        return budget, max(b1, budget)
+
+        # rigid page-map capacity (record-sparse CDF): bp blocks
+        # 27-dilated, 1.5x margin
+        n_rblocks = int(tag_b.sum())
+        from taichi_mpm_tpu.ops.blocked import total_blocks_padded
+
+        Kr = int(min(
+            total_blocks_padded(self.cfg),
+            -(-max(64, int(1.5 * n_rblocks)) // 64) * 64,
+        ))
+        return budget, max(b1, budget), Kr
 
     def _build_cpic_blocked_jit(self, n_substeps: int, cap: int, near: int,
-                                b1: int):
+                                b1: int, Kr: int):
         cfg = self.cfg
         scene = self.rigid_scene
         from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_frame
@@ -477,13 +487,16 @@ class MPM:
         self._blocked_cap = cap
         self._near_budget = near
         self._near_b1 = b1
+        self._rigid_cap = Kr
 
         def fn(p, bodies, t):
-            p, bodies, t, n_act, n_near, n_coarse, _ = cpic_blocked_frame(
-                p, bodies, t, cfg, scene, cfg.base_dt, n_substeps, cap,
-                near, b1
+            p, bodies, t, n_act, n_near, n_coarse, n_r, _ = (
+                cpic_blocked_frame(
+                    p, bodies, t, cfg, scene, cfg.base_dt, n_substeps, cap,
+                    near, b1, Kr
+                )
             )
-            return p, bodies, t, n_act, n_near, n_coarse
+            return p, bodies, t, n_act, n_near, n_coarse, n_r
 
         return jax.jit(fn)
 
@@ -519,10 +532,12 @@ class MPM:
 
             nbt = total_blocks_padded(self.cfg)
             while True:
-                p2, b2, t2, n_act, n_near, n_coarse = self._frame_jit(
+                p2, b2, t2, n_act, n_near, n_coarse, n_r = self._frame_jit(
                     self.particles, self.bodies, self.t
                 )
-                n_act, n_near, n_coarse = int(n_act), int(n_near), int(n_coarse)
+                n_act, n_near, n_coarse, n_r = (
+                    int(n_act), int(n_near), int(n_coarse), int(n_r)
+                )
                 pcap = self.particles.capacity
                 grow_cap = n_act > self._blocked_cap and self._blocked_cap < nbt
                 grow_b1 = n_coarse > self._near_b1 and self._near_b1 < pcap
@@ -532,20 +547,24 @@ class MPM:
                 grow_near = (not grow_b1) and n_near > self._near_budget and (
                     self._near_budget < pcap
                 )
-                if not (grow_cap or grow_near or grow_b1):
+                grow_kr = n_r > self._rigid_cap and self._rigid_cap < nbt
+                if not (grow_cap or grow_near or grow_b1 or grow_kr):
                     self.particles, self.bodies, self.t = p2, b2, t2
                     break
                 cap = self._blocked_cap
                 near = self._near_budget
                 b1 = self._near_b1
+                Kr = self._rigid_cap
                 if grow_cap:
                     cap = int(min(nbt, -(-2 * n_act // 64) * 64))
                 if grow_b1:
                     b1 = int(min(pcap, -(-2 * n_coarse // 256) * 256))
                 if grow_near:
                     near = int(min(pcap, -(-2 * n_near // 256) * 256))
+                if grow_kr:
+                    Kr = int(min(nbt, -(-2 * n_r // 64) * 64))
                 self._frame_jit = self._build_cpic_blocked_jit(
-                    self._frame_substeps, cap, near, max(b1, near)
+                    self._frame_substeps, cap, near, max(b1, near), Kr
                 )
         elif self.bodies is not None:
             self.particles, self.bodies, self.t = self._frame_jit(
@@ -605,9 +624,14 @@ class MPM:
             return self.energy()
         raise ValueError(f"unknown general_action {action!r}")
 
-    def visualize(self, path: str, verbose: bool = False):
+    def visualize(self, path: str, verbose: bool = False,
+                  write_rigid: bool = True):
         """Dump active particles to a BGEO file (MPM::visualize,
-        visualize.cpp:17-99; verbose adds v/mass/boundary attributes)."""
+        visualize.cpp:17-99; verbose adds v/mass/boundary attributes).
+        When the scene has rigid bodies, their transformed meshes are
+        also written next to the bgeo as ``<stem>_rigid_<id>.obj``
+        (the reference writes obj/poly rigid meshes per frame,
+        visualize.cpp:102-154)."""
         from taichi_mpm_tpu.io.bgeo import write_bgeo
 
         p = self.particles
@@ -619,6 +643,91 @@ class MPM:
             attrs["boundary"] = np.asarray(p.near_b)[act].astype(np.float32)
             attrs["distance"] = np.asarray(p.bdist)[act]
         write_bgeo(path, np.asarray(p.x)[act], attrs)
+        if write_rigid and self.bodies is not None:
+            import os
+
+            stem, _ = os.path.splitext(path)
+            self.write_rigid_meshes(stem + "_rigid")
+
+    def write_rigid_meshes(self, prefix: str):
+        """Write each rigid body's CURRENT world-space mesh as
+        ``<prefix>_<id>.obj`` (triangle soup 3D / polyline 2D) —
+        parity with the reference's per-frame rigid mesh output
+        (visualize.cpp:102-154, MPM::write_rigid_body mpm.h:333-343)."""
+        from taichi_mpm_tpu.rigid.body import rotate
+
+        assert self.bodies is not None, "no rigid bodies in the scene"
+        pos = np.asarray(self.bodies.pos)
+        rot = np.asarray(self.bodies.rot)
+        d = self.cfg.dim
+        for rid in range(1, self._rigid_builder.num):
+            elem = self._rigid_builder.meshes[rid]  # (E, d, d) body frame
+            world = np.asarray(
+                rotate(rot[rid][None], jnp.asarray(elem.reshape(-1, d)))
+            ) + pos[rid]
+            with open(f"{prefix}_{rid}.obj", "w") as f:
+                f.write(f"# taichi_mpm_tpu rigid body {rid}\n")
+                for v in world:
+                    if d == 3:
+                        f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+                    else:
+                        f.write(f"v {v[0]} {v[1]} 0\n")
+                n_el = elem.shape[0]
+                for e in range(n_el):
+                    i0 = e * d + 1
+                    if d == 3:
+                        f.write(f"f {i0} {i0 + 1} {i0 + 2}\n")
+                    else:
+                        f.write(f"l {i0} {i0 + 1}\n")
+
+    def visualize_cdf(self, path: str):
+        """Dump the CURRENT grid CDF as a point cloud of tagged nodes
+        with distance/states attributes (the reference's visualize_cdf
+        debug mode, mpm.cpp:473-505)."""
+        from taichi_mpm_tpu.io.bgeo import write_bgeo
+        from taichi_mpm_tpu.rigid import cdf
+        from taichi_mpm_tpu.rigid.body import boundary_particle_world
+
+        assert self.bodies is not None, "no rigid bodies in the scene"
+        scene = self.rigid_scene
+        xb, _, elem_w = boundary_particle_world(
+            self.bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        dist, rid, states = cdf.rasterize_rigid_boundary(
+            xb, elem_w, scene.bp_rid, self.bodies.num, self.cfg
+        )
+        states = np.asarray(states)
+        sel = states != 0
+        nodes = self.cfg.grid_nodes
+        coords = np.stack(
+            np.meshgrid(*[np.arange(n) for n in nodes], indexing="ij"), -1
+        ).reshape(-1, self.cfg.dim)[sel] * self.cfg.dx
+        write_bgeo(
+            path, coords.astype(np.float32),
+            {
+                "distance": np.asarray(dist)[sel],
+                "states": states[sel].astype(np.float32),
+                "rigid_id": np.asarray(rid)[sel].astype(np.float32),
+            },
+        )
+
+    def visualize_particle_cdf(self, path: str):
+        """Dump particles carrying CPIC affinity bits with their
+        boundary distance/states (visualize_particle_cdf,
+        mpm.cpp:483-505)."""
+        from taichi_mpm_tpu.io.bgeo import write_bgeo
+
+        p = self.particles
+        sel = np.asarray(p.active) & (np.asarray(p.states) != 0)
+        write_bgeo(
+            path, np.asarray(p.x)[sel],
+            {
+                "distance": np.asarray(p.bdist)[sel],
+                "states": np.asarray(p.states)[sel].astype(np.float32),
+                "boundary": np.asarray(p.near_b)[sel].astype(np.float32),
+            },
+        )
 
     def save(self, path: str):
         from taichi_mpm_tpu.io.checkpoint import save_checkpoint

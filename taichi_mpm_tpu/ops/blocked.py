@@ -170,9 +170,14 @@ def active_block_ids(starts, cfg: SimConfig, K: int):
 
 
 def build_page_map(keys_sorted, cfg: SimConfig, K: int):
-    """The whole page map from the sorted keys in O(P + K) segment ops —
-    no (total_blocks)-sized searchsorted (XLA lowers that to a 17-round
-    binary-search while loop that dominated the substep).
+    """The whole page map from the sorted keys via ONE searchsorted of
+    all (total_blocks+1) candidate ids into the sorted key array.
+
+    The binary search runs ~log2(P) rounds over total_blocks queries
+    (36k at res 125^3) — measured far cheaper than the previous 8M-entry
+    segment-min/max scatters (XLA scatters cost ~14 ns PER ELEMENT of
+    the scattered operand; the while-loop costs per QUERY). Revisit if
+    res grows to where total_blocks rivals the particle count.
 
     Returns (ids, n_act, slot_map, s_arr, e_arr):
       ids   (K,) active (occupied + 27-dilated) padded block ids asc.;
@@ -182,35 +187,11 @@ def build_page_map(keys_sorted, cfg: SimConfig, K: int):
     """
     nbp = num_blocks_padded(cfg)
     total = total_blocks_padded(cfg)
-    P = keys_sorted.shape[0]
-    iota = jnp.arange(P, dtype=jnp.int32)
-    valid = keys_sorted < total
-    first = valid & jnp.concatenate(
-        [jnp.ones((1,), bool), keys_sorted[1:] != keys_sorted[:-1]]
-    )
-    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n_occ = jnp.maximum(jnp.max(jnp.where(valid, rank, -1)) + 1, 0)
-    seg = jnp.where(valid, jnp.minimum(rank, K - 1), K)
-    ids_occ = jax.ops.segment_min(
-        keys_sorted, seg, num_segments=K + 1, indices_are_sorted=True
-    )[:K]
-    s_occ = jax.ops.segment_min(
-        iota, seg, num_segments=K + 1, indices_are_sorted=True
-    )[:K]
-    e_occ = (
-        jax.ops.segment_max(
-            iota, seg, num_segments=K + 1, indices_are_sorted=True
-        )[:K]
-        + 1
-    )
-    slotv = jnp.arange(K, dtype=jnp.int32) < jnp.minimum(n_occ, K)
-    ids_occ = jnp.where(slotv, ids_occ, total)
-    s_occ = jnp.where(slotv, s_occ, 0)
-    e_occ = jnp.where(slotv, e_occ, 0)
-
-    # occupied grid (K-sized scatter) + 27-neighborhood dilation
-    occ_grid = jnp.zeros((total + 1,), bool).at[jnp.minimum(ids_occ, total)].set(slotv)
-    occ = occ_grid[:total].reshape(nbp)
+    starts = jnp.searchsorted(
+        keys_sorted, jnp.arange(total + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    occ = (starts[1:] - starts[:-1]) > 0
+    occ = occ.reshape(nbp)
     for ax in range(3):
         lo = jnp.concatenate(
             [occ.take(jnp.arange(1, occ.shape[ax]), axis=ax),
@@ -234,33 +215,42 @@ def build_page_map(keys_sorted, cfg: SimConfig, K: int):
     )
     slot_map = slot_map.at[total].set(K)
 
-    # particle ranges for active slots: match the two sorted K-lists
-    pos = jnp.searchsorted(ids_occ, jnp.minimum(ids, total)).astype(jnp.int32)
-    pos = jnp.minimum(pos, K - 1)
-    found = ids_occ[pos] == ids
-    s_arr = jnp.where(found, s_occ[pos], 0)
-    e_arr = jnp.where(found, e_occ[pos], 0)
+    safe = jnp.minimum(ids, total - 1)
+    live = ids < total
+    # sentinel slots carry the collapsed range [n_active, n_active):
+    # empty AND ordered after every live range, so the batched P2G
+    # kernel's per-group union range [s(first), e(last)) stays valid
+    s_arr = jnp.where(live, starts[safe], starts[total])
+    e_arr = jnp.where(live, starts[jnp.minimum(safe + 1, total)], starts[total])
     return ids, n_act, slot_map, s_arr, e_arr
 
 
 def neighbor_slots(ids, slot_map, cfg: SimConfig):
-    """(K, 3, 3, 3) active-slot ids of each active block's 27-neighborhood
-    (offsets -1..+1 per axis, padded block coords); K (sentinel) where
-    the neighbor is out of domain or inactive."""
+    """(27, K) active-slot ids of each active block's 27-neighborhood
+    (row (ox*3+oy)*3+oz = offset (ox-1, oy-1, oz-1)); K (sentinel)
+    where the neighbor is out of domain or inactive. Row-per-offset
+    keeps the table layout-clean: a (K, 3, 3, 3) minor-dim shape tiles
+    to (4, 128) with ~40x padding and its 27 slices cost ~5 ms at 8M."""
     nbx, nby, nbz = num_blocks_padded(cfg)
     nbt = nbx * nby * nbz
     bx, by, bz, valid = _decode_ids(ids, cfg)
-    o = jnp.asarray([-1, 0, 1], jnp.int32)
-    X = bx[:, None, None, None] + o[None, :, None, None]
-    Y = by[:, None, None, None] + o[None, None, :, None]
-    Z = bz[:, None, None, None] + o[None, None, None, :]
-    inb = (
-        (X >= 0) & (X < nbx) & (Y >= 0) & (Y < nby) & (Z >= 0) & (Z < nbz)
-        & valid[:, None, None, None]
-    )
-    nid = (X * nby + Y) * nbz + Z
-    nid = jnp.where(inb, nid, nbt)  # slot_map[nbt] = sentinel
-    return slot_map[nid]
+    rows = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                X, Y, Z = bx + ox, by + oy, bz + oz
+                inb = (
+                    (X >= 0) & (X < nbx) & (Y >= 0) & (Y < nby)
+                    & (Z >= 0) & (Z < nbz) & valid
+                )
+                nid = jnp.where(inb, (X * nby + Y) * nbz + Z, nbt)
+                rows.append(slot_map[nid])
+    return jnp.stack(rows, 0)
+
+
+def nbr_at(nbr, ox: int, oy: int, oz: int):
+    """Neighbor slot row for offset index (ox, oy, oz) in 0..2 each."""
+    return nbr[(ox * 3 + oy) * 3 + oz]
 
 
 # static per-axis assembly tables ------------------------------------------
@@ -384,7 +374,7 @@ def merge_tiles_mm27(tiles, nbr):
     for ox in range(3):
         for oy in range(3):
             for oz in range(3):
-                rows = tf if (ox, oy, oz) == (1, 1, 1) else tp[nbr[:, ox, oy, oz]]
+                rows = tf if (ox, oy, oz) == (1, 1, 1) else tp[nbr_at(nbr, ox, oy, oz)]
                 rec = rec + _mm_hi(rows, jnp.asarray(M[ox, oy, oz]))
     return rec
 
@@ -399,7 +389,7 @@ def windows_mm27(vrec, nbr):
     for ox in range(3):
         for oy in range(3):
             for oz in range(3):
-                rows = vrec if (ox, oy, oz) == (1, 1, 1) else vp[nbr[:, ox, oy, oz]]
+                rows = vrec if (ox, oy, oz) == (1, 1, 1) else vp[nbr_at(nbr, ox, oy, oz)]
                 win = win + _mm_hi(rows, jnp.asarray(W[ox, oy, oz]))
     return win.reshape(K, 24, 128)
 
@@ -501,9 +491,9 @@ def merge_tiles_mm(tiles, nbr):
     K = tiles.shape[0]
     M1, M2, M3 = _merge_axis_matrices()
     s = tiles.reshape(K, _TILE_FLAT)
-    s = _sep_stage(s, [nbr[:, 1, 1, o] for o in range(3)], M1)
-    s = _sep_stage(s, [nbr[:, 1, o, 1] for o in range(3)], M2)
-    s = _sep_stage(s, [nbr[:, o, 1, 1] for o in range(3)], M3)
+    s = _sep_stage(s, [nbr_at(nbr, 1, 1, o) for o in range(3)], M1)
+    s = _sep_stage(s, [nbr_at(nbr, 1, o, 1) for o in range(3)], M2)
+    s = _sep_stage(s, [nbr_at(nbr, o, 1, 1) for o in range(3)], M3)
     return s
 
 
@@ -512,9 +502,9 @@ def windows_mm(vrec, nbr):
     separable 3-stage per-axis assembly (x, then y, then z)."""
     K = vrec.shape[0]
     W1, W2, W3 = _window_axis_matrices()
-    s = _sep_stage(vrec, [nbr[:, o, 1, 1] for o in range(3)], W1)
-    s = _sep_stage(s, [nbr[:, 1, o, 1] for o in range(3)], W2)
-    s = _sep_stage(s, [nbr[:, 1, 1, o] for o in range(3)], W3)
+    s = _sep_stage(vrec, [nbr_at(nbr, o, 1, 1) for o in range(3)], W1)
+    s = _sep_stage(s, [nbr_at(nbr, 1, o, 1) for o in range(3)], W2)
+    s = _sep_stage(s, [nbr_at(nbr, 1, 1, o) for o in range(3)], W3)
     return s.reshape(K, 24, 128)
 
 
@@ -541,7 +531,7 @@ def tiles_to_records(tiles_ijkc, nbr, K: int):
                 if (ox, oy, oz) == (1, 1, 1):
                     full = tp[:-1]  # self: no gather
                 else:
-                    full = tp[nbr[:, ox, oy, oz]]
+                    full = tp[nbr_at(nbr, ox, oy, oz)]
                 rec = rec.at[:, lx, ly, lz, :].add(full[:, ix, iy, iz, :])
     return rec
 
@@ -559,7 +549,7 @@ def records_to_windows(rec, nbr, K: int):
                 if (ox, oy, oz) == (1, 1, 1):
                     full = rp[:-1]
                 else:
-                    full = rp[nbr[:, ox, oy, oz]]
+                    full = rp[nbr_at(nbr, ox, oy, oz)]
                 win = win.at[:, wx, wy, wz, :].set(full[:, lx, ly, lz, :])
     return win
 

@@ -170,6 +170,131 @@ def _p2g_kernel(s_ref, e_ref, pdata_first, pdata_hbm, out_ref, pbuf, sem_p):
     out_ref[0] = jnp.concatenate(pieces, 0)  # (28, 49)
 
 
+BATCH = 4  # blocks per program in the batched kernel
+
+
+def _p2g_kernel_batched(
+    s_ref, e_ref, pdata_first, pdata_hbm, out_ref, pbuf, acc_ref, sem_p
+):
+    """BATCH consecutive block slots per program. Their sorted particle
+    ranges are CONTIGUOUS (slots ascend with block id, and empty/
+    sentinel slots carry collapsed-but-ordered ranges), so the group
+    streams ONE chunk sequence [s(first), e(last)) and each chunk feeds
+    a pl.when-predicated MXU matmul only into the blocks it
+    intersects (at 8 ppc a chunk usually spans 1-2 of the BATCH)."""
+    q = pl.program_id(0)
+    base = q * BATCH
+
+    s0 = s_ref[base]
+    eL = e_ref[base + BATCH - 1]
+    dstart = pl.multiple_of((s0 // CHUNK) * CHUNK, CHUNK)
+    nch = jnp.where(eL > s0, pl.cdiv(eL - dstart, CHUNK), 0)
+
+    def dma_p(slot, ci):
+        return pltpu.make_async_copy(
+            pdata_hbm.at[:, pl.ds(dstart + ci * CHUNK, CHUNK)],
+            pbuf.at[slot],
+            sem_p.at[slot],
+        )
+
+    @pl.when(nch > 1)
+    def _():
+        dma_p(1, 1).start()
+
+    for i in range(BATCH):
+        acc_ref[i] = jnp.zeros((NROW, NJK), jnp.float32)
+
+    def accum_chunk(pd, ci):
+        c_lo = dstart + ci * CHUNK
+        for i in range(BATCH):
+            s = s_ref[base + i]
+            e = e_ref[base + i]
+            hit = (e > s) & (s < c_lo + CHUNK) & (e > c_lo)
+
+            @pl.when(hit)
+            def _(i=i, s=s, e=e):
+                acc_ref[i] = acc_ref[i] + _chunk_contrib(pd, s, e, c_lo)
+
+    @pl.when(nch > 0)
+    def _():
+        accum_chunk(pdata_first, 0)
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nch)
+        def _():
+            dma_p(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        dma_p(slot, ci).wait()
+        accum_chunk(pbuf[slot], ci)
+        return 0
+
+    jax.lax.fori_loop(1, nch, body, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (3, NJK), 1)
+    ny = (lane // TILE - 1).astype(jnp.float32)
+    nz = (lane % TILE - 1).astype(jnp.float32)
+    for b in range(BATCH):
+        acc = acc_ref[b]
+        pieces = []
+        for i in range(TILE):
+            o = i * NVAL
+            nx = float(i - 1)
+            mom = (
+                acc[o : o + 3]
+                - nx * acc[o + 4 : o + 7]
+                - ny * acc[o + 8 : o + 11]
+                - nz * acc[o + 12 : o + 15]
+            )
+            pieces.append(jnp.concatenate([mom, acc[o + 3 : o + 4]], 0))
+        out_ref[b] = jnp.concatenate(pieces, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def p2g_blocked_batched(s_arr, e_arr, pdata, interpret: bool = False):
+    """Batched P2G: BATCH block slots per program (grid K/BATCH).
+    Same contract as p2g_blocked; K must be a multiple of BATCH."""
+    K = s_arr.shape[0]
+    assert K % BATCH == 0, f"K={K} must divide by BATCH={BATCH}"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K // BATCH,),
+        in_specs=[
+            pl.BlockSpec(
+                (NVAL, CHUNK),
+                lambda q, s, e: (0, s[q * BATCH] // CHUNK),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BATCH, NOUT, NJK), lambda q, *_: (q, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NVAL, CHUNK), jnp.float32),
+            pltpu.VMEM((BATCH, NROW, NJK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(s_ref, e_ref, pdata_first_ref, pdata_hbm, out_ref, pbuf,
+               acc_ref, sem_p):
+        _p2g_kernel_batched(s_ref, e_ref, pdata_first_ref[:], pdata_hbm,
+                            out_ref, pbuf, acc_ref, sem_p)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, NOUT, NJK), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(s_arr, e_arr, pdata, pdata)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def p2g_blocked(s_arr, e_arr, pdata, interpret: bool = False):
     """Run the P2G kernel: one program per (active) block slot.

@@ -43,7 +43,12 @@ from taichi_mpm_tpu.math.kernels import inv_D
 from taichi_mpm_tpu.ops import blocked
 from taichi_mpm_tpu.ops.blocked import BLOCK
 from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
-from taichi_mpm_tpu.ops.p2g_pallas import CHUNK, p2g_blocked
+from taichi_mpm_tpu.ops.p2g_pallas import (
+    BATCH,
+    CHUNK,
+    p2g_blocked,
+    p2g_blocked_batched,
+)
 from taichi_mpm_tpu.ops.substep import grid_update_flat
 
 NCH = 48  # rows (43 live + pad)
@@ -367,7 +372,8 @@ def packed_substep_presorted(
     pw = st.shape[0] // NCH
 
     pdata, (px, py, pz) = prep_packed(st, keys, cfg, dt)
-    tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
+    p2g = p2g_blocked_batched if K % BATCH == 0 else p2g_blocked
+    tiles = p2g(pm["s_arr"], pm["e_arr"], pdata, interpret=interpret)
     rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
     vrec = grid_update_flat(rec, pm["ids"], cfg, colliders, t, dt)
     gtiles = blocked.windows_mm(vrec, pm["nbr"])

@@ -300,7 +300,8 @@ def build_spatial_blocked_frame(
 def build_spatial_cpic_frame(
     cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
     axis: str = "x", K: int = 1024, budget: int = 256,
-    near_budget: int = 4096, b1: int = 0, interpret: bool = False,
+    near_budget: int = 4096, b1: int = 0, Kr: int = 0,
+    interpret: bool = False,
 ):
     """Jitted shard_map CPIC frame: the coupled (colored) transfers on
     the blocked pipeline per shard (VERDICT r1 #2). Rigid bodies are
@@ -351,16 +352,16 @@ def build_spatial_cpic_frame(
         p, keys, pm, needed0 = resort(p)
 
         def body(carry, _):
-            p, keys, pm, bodies, drift, t, need_max, na, nn, nc = carry
+            p, keys, pm, bodies, drift, t, need_max, na, nn, nc, nr = carry
             pm_cell[0] = pm
             origin_g = pm["origin"] + jnp.stack(
                 [off_cells, jnp.zeros_like(off_cells),
                  jnp.zeros_like(off_cells)], -1
             )
-            (p, bodies, t), n_near, n_coarse, vmax = (
+            (p, bodies, t), n_near, n_coarse, n_r, vmax = (
                 cpic_blocked_substep_presorted(
                     p, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
-                    near_budget, b1, interpret=interpret, lcfg=lcfg,
+                    near_budget, b1, Kr, interpret=interpret, lcfg=lcfg,
                     world_off=world_off, axis=axis, origin=origin_g,
                     grid_colliders=gcolls, exchange_fn=exchange,
                 )
@@ -379,17 +380,19 @@ def build_spatial_cpic_frame(
             return (p, keys, pm, bodies, drift, t,
                     jnp.maximum(need_max, needed),
                     jnp.maximum(na, pm["n_act"]),
-                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse)), None
+                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                    jnp.maximum(nr, n_r)), None
 
         carry = (p, keys, pm, bodies, jnp.float32(0.0), t, needed0,
-                 pm["n_act"], jnp.int32(0), jnp.int32(0))
-        (p, keys, pm, bodies, _, t, need_max, na, nn, nc), _ = jax.lax.scan(
-            body, carry, None, length=n_substeps
+                 pm["n_act"], jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        (p, keys, pm, bodies, _, t, need_max, na, nn, nc, nr), _ = (
+            jax.lax.scan(body, carry, None, length=n_substeps)
         )
         return (
             p, bodies, t,
             jax.lax.pmax(need_max, axis), jax.lax.pmax(na, axis),
             jax.lax.pmax(nn, axis), jax.lax.pmax(nc, axis),
+            jax.lax.pmax(nr, axis),
         )
 
     pspec = P(axis)
@@ -404,7 +407,7 @@ def build_spatial_cpic_frame(
         local_frame,
         mesh=mesh,
         in_specs=(p_specs, P(), P()),  # bodies replicated (prefix spec)
-        out_specs=(p_specs, P(), P(), P(), P(), P(), P()),
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -124,6 +124,184 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimCo
     return grid_dist, grid_rid, grid_states
 
 
+# ---------------------------------------------------------------------------
+# Record-sparse CDF (VERDICT r1 #4): no (prod grid_nodes,)-sized array
+# anywhere in the 3D CPIC hot path. The CDF lives as (Kr, 64) per-block
+# node records over a RIGID page map — the blocks touched by boundary-
+# particle stencils plus a one-block halo (the reference's SPGrid-sparse
+# rigid rasterize + rigid_page_map, rigid_transfer.cpp:18-117,
+# mpm.cpp:1021-1076).
+# ---------------------------------------------------------------------------
+
+
+def rigid_page_map(xb, cfg: SimConfig, Kr: int):
+    """Compacted block set near rigid boundary particles: bp blocks
+    27-dilated (covers their 3-node rasterize stencils and the CDF
+    gather reach of nearby particles). Returns (rids (Kr,) ascending
+    padded block ids, rslot_map (total+1,), n_r true occupancy —
+    driver re-jits with larger Kr when n_r > Kr)."""
+    from taichi_mpm_tpu.ops import blocked
+
+    nbp = blocked.num_blocks_padded(cfg)
+    total = blocked.total_blocks_padded(cfg)
+    bid = blocked.block_id_of(xb, cfg)
+    occ = jnp.zeros((total,), bool).at[bid].set(True)
+    occ = occ.reshape(nbp)
+    for ax in range(3):
+        lo = jnp.concatenate(
+            [occ.take(jnp.arange(1, occ.shape[ax]), axis=ax),
+             jnp.zeros_like(occ.take(jnp.arange(0, 1), axis=ax))], axis=ax
+        )
+        hi = jnp.concatenate(
+            [jnp.zeros_like(occ.take(jnp.arange(0, 1), axis=ax)),
+             occ.take(jnp.arange(0, occ.shape[ax] - 1), axis=ax)], axis=ax
+        )
+        occ = occ | lo | hi
+    occ = occ.reshape(-1)
+    order = jnp.argsort(~occ, stable=True).astype(jnp.int32)
+    if Kr > total:
+        order = jnp.pad(order, (0, Kr - total), constant_values=total)
+    n_r = jnp.sum(occ.astype(jnp.int32))
+    slot_idx = jnp.arange(Kr, dtype=jnp.int32)
+    rids = jnp.where(slot_idx < n_r, order[:Kr], total)
+    rslot_map = jnp.full((total + 1,), Kr, jnp.int32)
+    rslot_map = rslot_map.at[jnp.minimum(rids, total)].set(
+        jnp.where(slot_idx < n_r, slot_idx, Kr)
+    )
+    rslot_map = rslot_map.at[total].set(Kr)
+    return rids, rslot_map, n_r
+
+
+def _node_to_record(idx, rslot_map, Kr: int, cfg: SimConfig):
+    """Node index (..., 3) -> (record row in [0, Kr*64], ok): row Kr*64
+    is the zero sentinel."""
+    from taichi_mpm_tpu.ops import blocked
+
+    nbp = blocked.num_blocks_padded(cfg)
+    total = nbp[0] * nbp[1] * nbp[2]
+    b = idx // 4
+    l = idx - b * 4
+    bid = (b[..., 0] * nbp[1] + b[..., 1]) * nbp[2] + b[..., 2]
+    rs = rslot_map[jnp.clip(bid, 0, total)]
+    ok = rs < Kr
+    lane = l[..., 0] * 16 + l[..., 1] * 4 + l[..., 2]
+    row = jnp.where(ok, rs * 64 + lane, Kr * 64)
+    return row, ok
+
+
+def rasterize_rigid_boundary_records(
+    xb, elem_world, bp_rid, num_rigids: int, cfg: SimConfig, rslot_map,
+    Kr: int,
+):
+    """Rigid boundary particles -> CDF node RECORDS (Kr*64 + 1,) (last
+    row = sentinel zeros). Same math as the dense rasterize; the
+    scatter domain is the rigid page map instead of the whole grid."""
+    d = cfg.dim
+    nodes = cfg.grid_nodes
+    N = Kr * 64 + 1
+    pos = xb * cfg.inv_dx
+    base, _, _ = bspline_weights(2, pos)
+
+    key = jnp.full((N,), _KEY_INF, jnp.int32)
+    tags = jnp.zeros((N, num_rigids), jnp.int32)
+
+    for off in stencil_offsets(d, 2):
+        idx = base + jnp.asarray(off, jnp.int32)
+        inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
+        xg = idx.astype(jnp.float32) * cfg.dx
+        coord = _element_frame_coords(xg, elem_world)
+        h = coord[..., d - 1]
+        negative = h < 0.0
+        dist_gu = jnp.abs(h) * cfg.inv_dx
+        in_range = (
+            (coord[..., 0] >= 0)
+            & (coord[..., 1] >= 0)
+            & (coord[..., 0] + coord[..., 1] <= 1.0)
+        )
+        row, ok = _node_to_record(idx, rslot_map, Kr, cfg)
+        valid = inb & in_range & ok
+        lin = jnp.where(valid, row, N - 1)
+        q = jnp.minimum(dist_gu * _DIST_SCALE, _DIST_SCALE * 4 - 1).astype(jnp.int32)
+        k = (q << 8) | (bp_rid + 1)
+        key = key.at[lin].min(jnp.where(valid, k, _KEY_INF))
+        tag = jnp.where(valid, 2 + negative.astype(jnp.int32), 0)
+        tags = tags.at[lin, bp_rid].max(tag)
+
+    key = key.at[N - 1].set(_KEY_INF)
+    tags = tags.at[N - 1].set(0)
+    has = key != _KEY_INF
+    rid_rec = jnp.where(has, (key & 0xFF) - 1, -1)
+    dist_rec = jnp.where(
+        has, (key >> 8).astype(jnp.float32) / _DIST_SCALE * cfg.dx, 0.0
+    )
+    shifts = jnp.asarray([2 * r for r in range(num_rigids)], jnp.int32)
+    states_rec = jnp.sum(tags << shifts[None, :], axis=1).astype(jnp.int32)
+    states_rec = states_rec.at[N - 1].set(0)
+    return dist_rec, rid_rec, states_rec
+
+
+class DenseNodeCDF:
+    """Uniform view over the dense (N_nodes,) CDF arrays."""
+
+    def __init__(self, grid_dist, grid_rid, grid_states, cfg: SimConfig):
+        self.dist, self.rid, self.states, self.cfg = (
+            grid_dist, grid_rid, grid_states, cfg
+        )
+
+    def lookup(self, idx, inb):
+        """-> (states, rid, dist_world) at node indices idx (..., 3)."""
+        nodes = self.cfg.grid_nodes
+        lin = jnp.where(inb, _ravel(idx, nodes), 0)
+        s = jnp.where(inb, self.states[lin], 0)
+        rid = jnp.where(inb, self.rid[lin], -1)
+        dist = jnp.where(inb, self.dist[lin], 0.0)
+        return s, rid, dist
+
+    def tagged_blocks(self):
+        """(total_blocks_padded,) bool: blocks containing tagged nodes."""
+        from taichi_mpm_tpu.ops import blocked
+
+        cfg = self.cfg
+        nodes = cfg.grid_nodes
+        nbp = blocked.num_blocks_padded(cfg)
+        tag = (self.states != 0).reshape(nodes)
+        tag = jnp.pad(tag, tuple(
+            (0, 4 * nbp[k] - nodes[k]) for k in range(3)
+        ))
+        return jnp.any(
+            tag.reshape(nbp[0], 4, nbp[1], 4, nbp[2], 4), axis=(1, 3, 5)
+        ).reshape(-1)
+
+
+class RecordNodeCDF:
+    """Uniform view over the record-sparse (Kr*64 + 1,) CDF arrays."""
+
+    def __init__(self, dist_rec, rid_rec, states_rec, rids, rslot_map,
+                 Kr: int, cfg: SimConfig):
+        self.dist, self.rid, self.states = dist_rec, rid_rec, states_rec
+        self.rids, self.rslot_map, self.Kr, self.cfg = (
+            rids, rslot_map, Kr, cfg
+        )
+
+    def lookup(self, idx, inb):
+        row, ok = _node_to_record(idx, self.rslot_map, self.Kr, self.cfg)
+        row = jnp.where(inb & ok, row, self.Kr * 64)
+        rid = jnp.where(inb & ok, self.rid[row], -1)
+        return self.states[row], rid, self.dist[row]
+
+    def tagged_blocks(self):
+        from taichi_mpm_tpu.ops import blocked
+
+        total = blocked.total_blocks_padded(self.cfg)
+        has = jnp.any(
+            self.states[: self.Kr * 64].reshape(self.Kr, 64) != 0, axis=1
+        )
+        return (
+            jnp.zeros((total + 1,), bool)
+            .at[jnp.minimum(self.rids, total)].max(has)[:total]
+        )
+
+
 def _expand_states_2d(grid_states, num_rigids: int, cfg: SimConfig, passes: int):
     """2D CDF tag dilation (rigid_transfer.cpp:79-111, the cdf_expand
     knob): per pass and axis, interior nodes adopt the tag+sign bits of
@@ -161,11 +339,34 @@ def _expand_states_2d(grid_states, num_rigids: int, cfg: SimConfig, passes: int)
     return s.reshape(-1)
 
 
+def dense_node_lookup(grid_dist, grid_states, cfg: SimConfig):
+    """Node CDF lookup over dense (N_nodes,) arrays (oracle/2D path)."""
+    nodes = cfg.grid_nodes
+
+    def lookup(idx, inb):
+        lin = jnp.where(inb, _ravel(idx, nodes), 0)
+        s = jnp.where(inb, grid_states[lin], 0)
+        dist = jnp.where(inb, grid_dist[lin], 0.0)
+        return s, dist
+
+    return lookup
+
+
 def gather_cdf(p_x, p_states, grid_dist, grid_rid, grid_states, num_rigids: int, cfg: SimConfig):
+    """Grid CDF -> particle affinity + boundary distance/normal, dense
+    grid arrays (see gather_cdf_lookup for the record-sparse path)."""
+    return gather_cdf_lookup(
+        p_x, p_states, dense_node_lookup(grid_dist, grid_states, cfg),
+        num_rigids, cfg,
+    )
+
+
+def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfig):
     """Grid CDF -> particle affinity + boundary distance/normal.
 
     Args:
-      p_x: (P, d) particle positions; p_states: (P,) int32 affinity.
+      p_x: (P, d) particle positions; p_states: (P,) int32 affinity;
+      node_lookup(idx, inb) -> (states, dist_world) at node indices.
     Returns (states, bdist, bnormal, near_b): updated affinity, signed
     boundary distance (world units), unit normal, near-boundary flag.
     """
@@ -183,9 +384,8 @@ def gather_cdf(p_x, p_states, grid_dist, grid_rid, grid_states, num_rigids: int,
     def node_data(off):
         idx = base + jnp.asarray(off, jnp.int32)
         inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
-        lin = jnp.where(inb, _ravel(idx, nodes), 0)
-        s = jnp.where(inb, grid_states[lin], 0)
-        dist = jnp.where(inb, grid_dist[lin], 0.0) * cfg.inv_dx  # grid units
+        s, dist = node_lookup(idx, inb)
+        dist = dist * cfg.inv_dx  # grid units
         wo = w[:, 0, off[0]]
         for k in range(1, d):
             wo = wo * w[:, k, off[k]]

@@ -80,6 +80,73 @@ def _rec_slot_lane(idx, slot_map, cfg: SimConfig):
     return slot, lane
 
 
+def compact_near_rigid_ranges(
+    p: Particles, keys, pm, node_states, cfg: SimConfig, budget: int,
+    b1: int = 0,
+):
+    """Shared-sort near-rigid compaction (VERDICT r1 #6): the coarse
+    near-rigid set is read off the EXISTING block sort as the
+    concatenation of the sorted-particle ranges of tagged blocks —
+    O(K + B1) instead of an argsort over the whole particle capacity.
+    This is exactly how the reference gets its rigid page map as a
+    byproduct of the main sort (mpm.cpp:1021-1076).
+
+    Tagged blocks = blocks containing CDF-tagged nodes, dilated by one
+    block (covers both the stencil reach and the <0.5-cell lazy-sort
+    drift). node_states is a NodeStates view (dense or record-sparse).
+    Stage 2 (exact stencil test) queries it per stencil node. Returns
+    (idx, valid, n_near, n_coarse)."""
+    nbp = blocked.num_blocks_padded(cfg)
+    total = blocked.total_blocks_padded(cfg)
+    K = pm["ids"].shape[0]
+    core = node_states.tagged_blocks()  # (total,) bool, block space
+    core = core.reshape(nbp)
+    for ax in range(3):
+        lo = jnp.concatenate(
+            [core.take(jnp.arange(1, core.shape[ax]), axis=ax),
+             jnp.zeros_like(core.take(jnp.arange(0, 1), axis=ax))], axis=ax
+        )
+        hi = jnp.concatenate(
+            [jnp.zeros_like(core.take(jnp.arange(0, 1), axis=ax)),
+             core.take(jnp.arange(0, core.shape[ax] - 1), axis=ax)], axis=ax
+        )
+        core = core | lo | hi
+    core_flat = jnp.concatenate([core.reshape(-1), jnp.zeros((1,), bool)])
+    tagged = core_flat[jnp.minimum(pm["ids"], total)] & (pm["ids"] < total)
+
+    counts = jnp.where(tagged, pm["e_arr"] - pm["s_arr"], 0)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    n_coarse = offs[-1]
+    B1 = min(b1 if b1 else 4 * budget, p.capacity)
+    j = jnp.arange(B1, dtype=jnp.int32)
+    slot = jnp.clip(
+        jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1,
+        0, K - 1,
+    )
+    idx1 = jnp.clip(pm["s_arr"][slot] + j - offs[slot], 0, p.capacity - 1)
+    valid1 = j < jnp.minimum(n_coarse, B1)
+
+    # stage 2: exact per-stencil test on the coarse subset only
+    nodes_arr = jnp.asarray(cfg.grid_nodes)
+    pos = p.x[idx1] * cfg.inv_dx
+    base, _, _ = bspline_weights(cfg.kernel_order, pos)
+    exact = jnp.zeros((B1,), bool)
+    for off in stencil_offsets(cfg.dim, cfg.kernel_order):
+        nidx = base + jnp.asarray(off, jnp.int32)
+        inb = jnp.all((nidx >= 0) & (nidx < nodes_arr), -1)
+        s, _, _ = node_states.lookup(nidx, inb)
+        exact = exact | (s != 0)
+    exact = valid1 & (exact | (p.states[idx1] != 0))
+
+    order2 = jnp.argsort(jnp.where(exact, 0, 1), stable=True).astype(jnp.int32)
+    n_exact = jnp.sum(exact.astype(jnp.int32))
+    idx = idx1[order2[:budget]]
+    valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(n_exact, budget)
+    return idx, valid, n_exact, n_coarse
+
+
 def compact_near_rigid(
     p: Particles, grid_states, cfg: SimConfig, budget: int, b1: int = 0
 ):
@@ -167,7 +234,7 @@ def _near_values(p: Particles, idx, cfg: SimConfig, dt):
 
 
 def p2g_correction(
-    p, idx, valid, pm, grid_states, grid_rid, bodies, rec, cfg: SimConfig, dt,
+    p, idx, valid, pm, ncdf, bodies, rec, cfg: SimConfig, dt,
     world_off=None,
 ):
     """Undo the plain scatter at color-incompatible nodes for the
@@ -211,7 +278,8 @@ def p2g_correction(
             gradw.append(g * cfg.inv_dx)
         gradw = jnp.stack(gradw, -1)
 
-        s, nrid, inb = _node_state_lookup(nidx, grid_states, grid_rid, cfg)
+        inb = jnp.all((nidx >= 0) & (nidx < jnp.asarray(cfg.grid_nodes)), -1)
+        s, nrid, _ = ncdf.lookup(nidx, inb)
         compat = _compatible(s, pstates, smask)
         hit = valid & inb & (~compat) & (nrid >= 0)
 
@@ -242,7 +310,7 @@ def p2g_correction(
 
 
 def g2p_correction(
-    p, idx, valid, pm, grid_states, grid_rid, bodies, vrec, cfg: SimConfig, dt,
+    p, idx, valid, pm, ncdf, bodies, vrec, cfg: SimConfig, dt,
     world_off=None,
 ):
     """Per-offset corrections for the near-rigid subset: replace the
@@ -275,7 +343,8 @@ def g2p_correction(
         for k in range(1, d):
             wo = wo * w[:, k, off[k]]
 
-        s, nrid, inb = _node_state_lookup(nidx, grid_states, grid_rid, cfg)
+        inb = jnp.all((nidx >= 0) & (nidx < jnp.asarray(cfg.grid_nodes)), -1)
+        s, nrid, _ = ncdf.lookup(nidx, inb)
         compat = _compatible(s, pstates, smask)
         incompat = valid & inb & (~compat)
 
@@ -307,7 +376,8 @@ def g2p_correction(
 
 def cpic_blocked_substep_presorted(
     p: Particles, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
-    near_budget: int, b1: int = 0, interpret: bool = False,
+    near_budget: int, b1: int = 0, Kr: int = 0,
+    interpret: bool = False,
     lcfg: SimConfig = None, world_off=None, axis: str = None,
     origin=None, grid_colliders=None, exchange_fn=None,
 ):
@@ -331,9 +401,15 @@ def cpic_blocked_substep_presorted(
         the reference's apply_tmp_impulse accumulator pattern
         (transfer.cpp:195-197,578-580) over ICI.
 
-    Returns ((p, bodies, t+dt), n_near, n_coarse, vmax) where vmax is
-    the max |v| component actually used for advection this substep
-    (for the caller's drift accounting)."""
+    Kr > 0 selects the RECORD-SPARSE CDF (VERDICT r1 #4): the CDF
+    lives as (Kr, 64) node records over a rigid page map instead of
+    (prod grid_nodes,) dense arrays; Kr = 0 keeps the dense arrays
+    (2D / small grids).
+
+    Returns ((p, bodies, t+dt), n_near, n_coarse, n_r, vmax): n_r is
+    the rigid-page-map occupancy (0 when dense; driver grows Kr on
+    overflow) and vmax the max |v| component actually used for
+    advection this substep (for the caller's drift accounting)."""
     from taichi_mpm_tpu.core.solver import clear_boundary_particles
     from taichi_mpm_tpu.core.transfer import particle_collision_resolution
     from taichi_mpm_tpu.rigid import articulation as artic
@@ -372,9 +448,20 @@ def cpic_blocked_substep_presorted(
             elem_g = elem_w - world_off
         else:
             xb_g, elem_g = xb, elem_w
-        grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
-            xb_g, elem_g, scene.bp_rid, R, gcfg
-        )
+        if Kr > 0:
+            rids, rslot_map, n_r = cdf.rigid_page_map(xb_g, gcfg, Kr)
+            dist_r, rid_r, states_r = cdf.rasterize_rigid_boundary_records(
+                xb_g, elem_g, scene.bp_rid, R, gcfg, rslot_map, Kr
+            )
+            ncdf = cdf.RecordNodeCDF(
+                dist_r, rid_r, states_r, rids, rslot_map, Kr, gcfg
+            )
+        else:
+            grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
+                xb_g, elem_g, scene.bp_rid, R, gcfg
+            )
+            ncdf = cdf.DenseNodeCDF(grid_dist, grid_rid, grid_states, gcfg)
+            n_r = jnp.int32(0)
     p_loc = (
         dataclasses.replace(p, x=p.x - world_off)
         if world_off is not None else p
@@ -385,11 +472,15 @@ def cpic_blocked_substep_presorted(
     # (rigid_transfer.cpp:147-149). Particles outside the set keep
     # zero/old state correctly: any particle carrying affinity bits is
     # in the set by construction, so leaving the neighborhood clears it.
-    idx, valid, n_near, n_coarse = compact_near_rigid(
-        p_loc, grid_states, gcfg, near_budget, b1
+    idx, valid, n_near, n_coarse = compact_near_rigid_ranges(
+        p_loc, keys, pm, ncdf, gcfg, near_budget, b1
     )
-    st_c, bd_c, bn_c, nb_c = cdf.gather_cdf(
-        p_loc.x[idx], p.states[idx], grid_dist, grid_rid, grid_states, R, gcfg
+    def _sd_lookup(nidx, inb):
+        s, _, dist = ncdf.lookup(nidx, inb)
+        return s, dist
+
+    st_c, bd_c, bn_c, nb_c = cdf.gather_cdf_lookup(
+        p_loc.x[idx], p.states[idx], _sd_lookup, R, gcfg
     )
     n = p.capacity
     states = jnp.zeros((n,), jnp.int32).at[idx].set(jnp.where(valid, st_c, 0))
@@ -416,7 +507,7 @@ def cpic_blocked_substep_presorted(
     # (BEFORE the halo exchange: each shard un-scatters its own
     # particles from its own pre-exchange records)
     rec, J1, tau1 = p2g_correction(
-        p_loc, idx, valid, pm, grid_states, grid_rid, bodies, rec, gcfg, dt,
+        p_loc, idx, valid, pm, ncdf, bodies, rec, gcfg, dt,
         world_off=world_off,
     )
     if exchange_fn is not None:
@@ -448,7 +539,7 @@ def cpic_blocked_substep_presorted(
 
     # -- CPIC G2P correction
     dv, dB, rid_last_c = g2p_correction(
-        p_loc, idx, valid, pm, grid_states, grid_rid, bodies, vrec, gcfg, dt,
+        p_loc, idx, valid, pm, ncdf, bodies, vrec, gcfg, dt,
         world_off=world_off,
     )
     v_new = v_new.at[idx].add(jnp.where(valid[:, None], dv, 0.0))
@@ -481,19 +572,19 @@ def cpic_blocked_substep_presorted(
         p = clear_boundary_particles(p, cfg)
 
     bodies = advance(bodies, t, dt, scene.pos_funcs, scene.rot_funcs, cfg.gravity)
-    return (p, bodies, t + dt), n_near, n_coarse, vmax
+    return (p, bodies, t + dt), n_near, n_coarse, n_r, vmax
 
 
 def cpic_blocked_substep(
     p: Particles, bodies, t, cfg: SimConfig, scene, dt, K: int,
-    near_budget: int, b1: int = 0, interpret: bool = False,
+    near_budget: int, b1: int = 0, Kr: int = 0, interpret: bool = False,
 ):
     """One coupled substep with its own sort + page-map build.
     Returns ((p, bodies, t+dt), n_act, n_near)."""
     p, keys, _ = sort_particles(p, cfg)
     pm = build_page_map_full(keys, cfg, K)
-    (p, bodies, t), n_near, n_coarse, _ = cpic_blocked_substep_presorted(
-        p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
+    (p, bodies, t), n_near, n_coarse, _, _ = cpic_blocked_substep_presorted(
+        p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1, Kr,
         interpret=interpret,
     )
     B1 = min(b1 if b1 else 4 * near_budget, p.capacity)
@@ -503,7 +594,8 @@ def cpic_blocked_substep(
 
 def cpic_blocked_frame(
     p: Particles, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
-    K: int, near_budget: int, b1: int = 0, interpret: bool = False,
+    K: int, near_budget: int, b1: int = 0, Kr: int = 0,
+    interpret: bool = False,
 ):
     """A CPIC frame with drift-triggered lazy re-sorting (the CPIC
     analog of ops.substep.blocked_frame): sort once, run substeps
@@ -511,7 +603,7 @@ def cpic_blocked_frame(
     accumulated max displacement approaches half a cell.
 
     Returns (p, bodies, t, max n_act, max n_near, max n_coarse,
-    n_sorts)."""
+    max n_r, n_sorts)."""
 
     def resort(p):
         p, keys, _ = sort_particles(p, cfg)
@@ -520,10 +612,13 @@ def cpic_blocked_frame(
     p, keys, pm = resort(p)
 
     def body(carry, _):
-        p, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nsorts = carry
-        (p, bodies, t), n_near, n_coarse, vmax = cpic_blocked_substep_presorted(
-            p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
-            interpret=interpret,
+        (p, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr,
+         nsorts) = carry
+        (p, bodies, t), n_near, n_coarse, n_r, vmax = (
+            cpic_blocked_substep_presorted(
+                p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
+                Kr, interpret=interpret,
+            )
         )
         drift = drift + dt * cfg.inv_dx * vmax
         need = drift >= 0.45
@@ -543,14 +638,14 @@ def cpic_blocked_frame(
         return (
             p, keys, pm, bodies, drift, t,
             jnp.maximum(nmax, pm["n_act"]), jnp.maximum(nnear, n_near),
-            jnp.maximum(ncoarse, n_coarse), nsorts,
+            jnp.maximum(ncoarse, n_coarse), jnp.maximum(nr, n_r), nsorts,
         ), None
 
     carry = (
         p, keys, pm, bodies, jnp.float32(0.0), t, pm["n_act"],
-        jnp.int32(0), jnp.int32(0), jnp.int32(1),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
     )
-    (p, keys, pm, bodies, _, t, nmax, nnear, ncoarse, nsorts), _ = jax.lax.scan(
-        body, carry, None, length=n_substeps
+    (p, keys, pm, bodies, _, t, nmax, nnear, ncoarse, nr, nsorts), _ = (
+        jax.lax.scan(body, carry, None, length=n_substeps)
     )
-    return p, bodies, t, nmax, nnear, ncoarse, nsorts
+    return p, bodies, t, nmax, nnear, ncoarse, nr, nsorts

@@ -52,6 +52,7 @@ class RigidSceneBuilder:
         self.rigid_penalty = rigid_penalty
         self.bodies = []
         self.bp = []
+        self.meshes = [None]  # body-frame full element soup per rigid
         self.pos_funcs = [None]
         self.rot_funcs = [None]
         self.articulations = []
@@ -204,6 +205,7 @@ class RigidSceneBuilder:
         self.rot_funcs.append(scripted_rotation)
 
         # boundary particles in the centroid frame
+        self.meshes.append(elem)
         bpos, bnrm, eidx = meshlib.sample_boundary_particles(elem, self.dx)
         self.bp.append(
             dict(

@@ -377,7 +377,7 @@ class TestCPICBlocked:
                 interpret=True,
             )
 
-        p_l, b_l, t2, n_act, n_near, n_coarse, nsorts = cpic_blocked_frame(
+        p_l, b_l, t2, n_act, n_near, n_coarse, _, nsorts = cpic_blocked_frame(
             sim.particles, sim.bodies, jnp.float32(0.0), cfg, scene, dt,
             10, 96, 256, interpret=True,
         )
@@ -481,4 +481,109 @@ class TestCouplingKnobs:
         )
         np.testing.assert_allclose(
             np.asarray(b_b.vel), np.asarray(b_o.vel), atol=1e-5
+        )
+
+
+class TestSharedSortCompaction:
+    def test_ranges_match_argsort_compaction(self):
+        """The shared-sort (range-based) near-rigid compaction must
+        select the same particle SET as the argsort formulation
+        (VERDICT r1 #6); both feed identical downstream corrections."""
+        from taichi_mpm_tpu.ops.blocked import sort_particles
+        from taichi_mpm_tpu.ops.substep import build_page_map_full
+        from taichi_mpm_tpu.rigid.body import boundary_particle_world
+        from taichi_mpm_tpu.rigid import cdf
+        from taichi_mpm_tpu.rigid.cpic_blocked import (
+            compact_near_rigid,
+            compact_near_rigid_ranges,
+        )
+        from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+        rng = np.random.default_rng(7)
+        sim = MPM(res=(32, 32, 32), base_delta_t=2e-4, gravity=(0, -10.0, 0))
+        pos = rng.uniform(0.2, 0.8, size=(800, 3)).astype(np.float32)
+        sim.add_particles("jelly", pos=pos, E=1e4, nu=0.3, density=1000)
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.2, half_v=0.2, axis=1),
+            scripted_position=lambda t: (0.5, 0.5, 0.5),
+            scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+            codimensional=True, friction=0.2,
+        )
+        sim._finalize()
+        cfg, scene, bodies = sim.cfg, sim.rigid_scene, sim.bodies
+        p, keys, _ = sort_particles(sim.particles, cfg)
+        pm = build_page_map_full(keys, cfg, 512)
+        xb, _, elem = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        _, _, grid_states = cdf.rasterize_rigid_boundary(
+            xb, elem, scene.bp_rid, bodies.num, cfg
+        )
+        budget, b1 = 512, 1024
+        i1, v1, n1, c1 = compact_near_rigid(p, grid_states, cfg, budget, b1)
+        ncdf = cdf.DenseNodeCDF(jnp.zeros_like(grid_states, jnp.float32),
+                                jnp.full_like(grid_states, -1), grid_states, cfg)
+        i2, v2, n2, c2 = compact_near_rigid_ranges(
+            p, keys, pm, ncdf, cfg, budget, b1
+        )
+        assert int(n1) == int(n2)
+        assert int(n1) > 0
+        s1 = set(np.asarray(i1)[np.asarray(v1)].tolist())
+        s2 = set(np.asarray(i2)[np.asarray(v2)].tolist())
+        assert s1 == s2
+        # coarse counts may differ (different supersets) but both bound
+        # the exact set
+        assert int(c2) >= int(n2)
+
+
+class TestRecordSparseCDF:
+    def test_record_cdf_matches_dense(self):
+        """Kr>0 (record-sparse CDF, VERDICT r1 #4) must reproduce the
+        dense-CDF blocked substep exactly — no (prod grid_nodes,) array
+        remains in the 3D CPIC hot path."""
+        from taichi_mpm_tpu.ops.blocked import sort_particles
+        from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_substep
+        from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+        rng = np.random.default_rng(9)
+        sim = MPM(res=(32, 32, 32), base_delta_t=2e-4, gravity=(0, -10.0, 0),
+                  penalty=1e3)
+        pos = rng.uniform(0.25, 0.75, size=(400, 3)).astype(np.float32)
+        sim.add_particles("jelly", pos=pos, vel=(0, -0.8, 0), E=1e4, nu=0.3,
+                          density=1000)
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.22, half_v=0.22, axis=1),
+            scripted_position=lambda t: (0.5, 0.42, 0.5),
+            scripted_rotation=lambda t: (0.2 * t, 0.0, 0.0),
+            codimensional=True, friction=0.2,
+        )
+        sim._finalize()
+        cfg, scene, b0 = sim.cfg, sim.rigid_scene, sim.bodies
+        p0, _, _ = sort_particles(sim.particles, cfg)
+        dt = cfg.base_dt
+
+        pd, bd = p0, b0
+        pr, br = p0, b0
+        t = jnp.float32(0.0)
+        for _ in range(3):
+            (pd, bd, _), _, _ = cpic_blocked_substep(
+                pd, bd, t, cfg, scene, dt, K=512, near_budget=512, b1=1024,
+                Kr=0, interpret=True,
+            )
+            (pr, br, _), _, _ = cpic_blocked_substep(
+                pr, br, t, cfg, scene, dt, K=512, near_budget=512, b1=1024,
+                Kr=256, interpret=True,
+            )
+            from taichi_mpm_tpu.ops.blocked import sort_particles as sp
+
+            pd, _, _ = sp(pd, cfg)
+            pr, _, _ = sp(pr, cfg)
+            t = t + dt
+        np.testing.assert_array_equal(np.asarray(pr.x), np.asarray(pd.x))
+        np.testing.assert_array_equal(
+            np.asarray(pr.states), np.asarray(pd.states)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(br.vel), np.asarray(bd.vel)
         )

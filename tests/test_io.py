@@ -111,3 +111,41 @@ class TestCheckpoint:
         c.add_particles("jelly", pos=np.full((5, 2), 0.5), E=1e4, nu=0.3)
         with pytest.raises(AssertionError, match="capacity"):
             c.load(path)
+
+
+class TestRigidMeshOutput:
+    def test_visualize_writes_rigid_objs_and_cdf(self, tmp_path):
+        """Frame output parity: transformed rigid meshes per frame
+        (visualize.cpp:102-154) + CDF debug dumps (mpm.cpp:473-505)."""
+        import numpy as np
+
+        from taichi_mpm_tpu.core.solver import MPM
+        from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+        rng = np.random.default_rng(0)
+        sim = MPM(res=(16, 16, 16), base_delta_t=2e-4, gravity=(0, -10.0, 0))
+        sim.add_particles(
+            "jelly", pos=rng.uniform(0.35, 0.6, (100, 3)).astype(np.float32),
+            E=1e4, nu=0.3, density=1000,
+        )
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.2, half_v=0.2, axis=1),
+            scripted_position=lambda t: (0.5, 0.4 + 0.1 * t, 0.5),
+            scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+            codimensional=True, friction=0.2,
+        )
+        sim.step()
+        out = tmp_path / "frame0.bgeo"
+        sim.visualize(str(out), verbose=True)
+        objs = sorted(tmp_path.glob("frame0_rigid_*.obj"))
+        assert len(objs) == 1
+        txt = objs[0].read_text()
+        assert txt.count("v ") > 3 and "f " in txt
+        # vertices moved with the scripted body (y ~ 0.4)
+        ys = [float(l.split()[2]) for l in txt.splitlines() if l.startswith("v ")]
+        assert 0.3 < float(np.mean(ys)) < 0.5
+
+        sim.visualize_cdf(str(tmp_path / "cdf.bgeo"))
+        sim.visualize_particle_cdf(str(tmp_path / "pcdf.bgeo"))
+        assert (tmp_path / "cdf.bgeo").stat().st_size > 100
+        assert (tmp_path / "pcdf.bgeo").exists()

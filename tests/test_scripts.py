@@ -69,3 +69,9 @@ class TestScripts:
         )
         assert res.returncode == 0, res.stderr[-2000:]
         assert "frame 002" in res.stdout
+
+
+class TestStork:
+    def test_stork(self):
+        out = run_script("scripts/async/stork.py", ["--frames", "2", "--res", "48"])
+        assert "total particle updates:" in out
