@@ -490,13 +490,13 @@ class MPM:
         self._rigid_cap = Kr
 
         def fn(p, bodies, t):
-            p, bodies, t, n_act, n_near, n_coarse, n_r, _ = (
+            p, bodies, t, n_act, n_near, n_coarse, n_r, _, plast = (
                 cpic_blocked_frame(
                     p, bodies, t, cfg, scene, cfg.base_dt, n_substeps, cap,
                     near, b1, Kr
                 )
             )
-            return p, bodies, t, n_act, n_near, n_coarse, n_r
+            return p, bodies, t, n_act, n_near, n_coarse, n_r, plast
 
         return jax.jit(fn)
 
@@ -532,8 +532,8 @@ class MPM:
 
             nbt = total_blocks_padded(self.cfg)
             while True:
-                p2, b2, t2, n_act, n_near, n_coarse, n_r = self._frame_jit(
-                    self.particles, self.bodies, self.t
+                p2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
+                    self._frame_jit(self.particles, self.bodies, self.t)
                 )
                 n_act, n_near, n_coarse, n_r = (
                     int(n_act), int(n_near), int(n_coarse), int(n_r)
@@ -550,6 +550,7 @@ class MPM:
                 grow_kr = n_r > self._rigid_cap and self._rigid_cap < nbt
                 if not (grow_cap or grow_near or grow_b1 or grow_kr):
                     self.particles, self.bodies, self.t = p2, b2, t2
+                    self.plasticity_counter += int(plast)
                     break
                 cap = self._blocked_cap
                 near = self._near_budget

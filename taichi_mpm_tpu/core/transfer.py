@@ -192,12 +192,15 @@ def g2p(p: Particles, grid_v, cfg: SimConfig, dt) -> Particles:
     return g2p_finish(p, v_new, b_new, cfg, dt)
 
 
-def g2p_finish(p: Particles, v_new, b_new, cfg: SimConfig, dt, zero_C=None) -> Particles:
+def g2p_finish(p: Particles, v_new, b_new, cfg: SimConfig, dt, zero_C=None,
+               return_count: bool = False):
     """Shared tail of G2P: damping, MLS F-update, plasticity, advection,
     clamping, NaN robustness. Used by both the XLA gather path above and
     the blocked Pallas path (ops.substep). `zero_C` optionally masks
     particles whose APIC B is reset (CPIC near-boundary particles,
-    transfer.cpp:649-655) while the F-update still uses b_new."""
+    transfer.cpp:649-655) while the F-update still uses b_new.
+    `return_count=True` additionally returns the summed plasticity/
+    cutting event count (the reference's work counters, mpm.h:111-112)."""
     import dataclasses
 
     d = cfg.dim
@@ -244,4 +247,7 @@ def g2p_finish(p: Particles, v_new, b_new, cfg: SimConfig, dt, zero_C=None) -> P
         & jnp.all(jnp.isfinite(new.v), -1)
         & jnp.all(jnp.isfinite(new.F), (-2, -1))
     )
-    return dataclasses.replace(new, active=new.active & finite)
+    out = dataclasses.replace(new, active=new.active & finite)
+    if return_count:
+        return out, jnp.sum(jnp.where(out.active, cnt, 0))
+    return out

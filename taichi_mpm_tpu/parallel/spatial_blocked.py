@@ -358,7 +358,7 @@ def build_spatial_cpic_frame(
                 [off_cells, jnp.zeros_like(off_cells),
                  jnp.zeros_like(off_cells)], -1
             )
-            (p, bodies, t), n_near, n_coarse, n_r, vmax = (
+            (p, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
                 cpic_blocked_substep_presorted(
                     p, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
                     near_budget, b1, Kr, interpret=interpret, lcfg=lcfg,

@@ -548,7 +548,8 @@ def cpic_blocked_substep_presorted(
         jnp.where(valid, rid_last_c, -1)
     )
 
-    p = g2p_finish(p, v_new, b_new, cfg, dt, zero_C=p.near_b)
+    p, plast = g2p_finish(p, v_new, b_new, cfg, dt, zero_C=p.near_b,
+                          return_count=True)
     # the advection this substep used exactly p.v as set by g2p_finish;
     # measure it BEFORE the penalty kick below modifies v
     vmax = jnp.max(jnp.where(p.active[:, None], jnp.abs(p.v), 0.0))
@@ -572,7 +573,7 @@ def cpic_blocked_substep_presorted(
         p = clear_boundary_particles(p, cfg)
 
     bodies = advance(bodies, t, dt, scene.pos_funcs, scene.rot_funcs, cfg.gravity)
-    return (p, bodies, t + dt), n_near, n_coarse, n_r, vmax
+    return (p, bodies, t + dt), n_near, n_coarse, n_r, vmax, plast
 
 
 def cpic_blocked_substep(
@@ -583,7 +584,7 @@ def cpic_blocked_substep(
     Returns ((p, bodies, t+dt), n_act, n_near)."""
     p, keys, _ = sort_particles(p, cfg)
     pm = build_page_map_full(keys, cfg, K)
-    (p, bodies, t), n_near, n_coarse, _, _ = cpic_blocked_substep_presorted(
+    (p, bodies, t), n_near, n_coarse, _, _, _ = cpic_blocked_substep_presorted(
         p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1, Kr,
         interpret=interpret,
     )
@@ -613,8 +614,8 @@ def cpic_blocked_frame(
 
     def body(carry, _):
         (p, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr,
-         nsorts) = carry
-        (p, bodies, t), n_near, n_coarse, n_r, vmax = (
+         nsorts, plast) = carry
+        (p, bodies, t), n_near, n_coarse, n_r, vmax, dplast = (
             cpic_blocked_substep_presorted(
                 p, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
                 Kr, interpret=interpret,
@@ -639,13 +640,16 @@ def cpic_blocked_frame(
             p, keys, pm, bodies, drift, t,
             jnp.maximum(nmax, pm["n_act"]), jnp.maximum(nnear, n_near),
             jnp.maximum(ncoarse, n_coarse), jnp.maximum(nr, n_r), nsorts,
+            plast + dplast,
         ), None
 
     carry = (
         p, keys, pm, bodies, jnp.float32(0.0), t, pm["n_act"],
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
+        jnp.int32(0),
     )
-    (p, keys, pm, bodies, _, t, nmax, nnear, ncoarse, nr, nsorts), _ = (
+    (p, keys, pm, bodies, _, t, nmax, nnear, ncoarse, nr, nsorts,
+     plast), _ = (
         jax.lax.scan(body, carry, None, length=n_substeps)
     )
-    return p, bodies, t, nmax, nnear, ncoarse, nr, nsorts
+    return p, bodies, t, nmax, nnear, ncoarse, nr, nsorts, plast

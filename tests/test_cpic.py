@@ -377,7 +377,7 @@ class TestCPICBlocked:
                 interpret=True,
             )
 
-        p_l, b_l, t2, n_act, n_near, n_coarse, _, nsorts = cpic_blocked_frame(
+        p_l, b_l, t2, n_act, n_near, n_coarse, _, nsorts, _ = cpic_blocked_frame(
             sim.particles, sim.bodies, jnp.float32(0.0), cfg, scene, dt,
             10, 96, 256, interpret=True,
         )

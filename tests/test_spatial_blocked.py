@@ -117,7 +117,7 @@ def test_cpic_multichip_matches_single_chip():
     cfg, scene, b0 = sim.cfg, sim.rigid_scene, sim.bodies
     n_sub = 6
 
-    p1, b1, t1, n_act, n_near, n_coarse, _, _ = cpic_blocked_frame(
+    p1, b1, t1, n_act, n_near, n_coarse, _, _, _ = cpic_blocked_frame(
         sim.particles, b0, jnp.float32(0.0), cfg, scene, cfg.base_dt,
         n_sub, K=512, near_budget=512, b1=1024, interpret=True,
     )
