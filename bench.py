@@ -42,7 +42,8 @@ def _bench_kernel(mode: str, cells: int, repeats: int):
     n = cells ** 3 * 8
     st = packed.pack_particles(sim.particles)
     st, keys = packed.sort_packed(st, cfg)
-    K = -(-int(1.5 * cells ** 3) // (64 * BATCH)) * 64 * BATCH
+    n_blocks = (-(-cells // 4) + 2) ** 3  # occupied + dilation margin
+    K = -(-int(1.5 * n_blocks) // (64 * BATCH)) * 64 * BATCH
     pm = packed.build_page_map_packed(keys, cfg, K)
     pdata, (px, py, pz) = packed.prep_packed(st, keys, cfg, cfg.base_dt)
     pw = st.shape[0] // packed.NCH
@@ -129,6 +130,11 @@ def main():
                 "value": pps,
                 "unit": "particle-steps/s/chip",
                 "vs_baseline": pps / (1e9 / 8),
+                # the target is a v5p-8 aggregate; this run is ONE v5e
+                # chip (~1/3.4 the HBM bandwidth of a v5p chip), so
+                # vs_baseline compares against the per-chip share
+                # 1e9/8 without correcting for the chip generation
+                "basis": "single v5e chip vs 1e9/8 per-chip share of the v5p-8 target",
             }
         )
     )

@@ -113,12 +113,19 @@ class AsyncMPM(MPM):
         unit_delta_t: float = 1e-6,
         strength_dt_mul: float = 1.0,
         cfl_dt_mul: float = 1.0,
+        per_block: bool = False,
         **kw,
     ):
+        """per_block=True selects the BUCKETED per-block scheduler
+        (ops/async_bucketed — POT dt level per grid block, largest-
+        first bucketed advance with time-consistent backups, the
+        reference AsyncMPM design async_mpm.cpp:90-421); False keeps
+        the global adaptive dt."""
         super().__init__(*args, **kw)
         self.unit_delta_t = unit_delta_t
         self.strength_dt_mul = strength_dt_mul
         self.cfl_dt_mul = cfl_dt_mul
+        self.per_block = per_block
         self.update_counter = 0
 
     def _build_jit(self, n_substeps: int):
@@ -134,6 +141,9 @@ class AsyncMPM(MPM):
         use_blocked = self.optimized
         if use_blocked is None:
             use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
+        if self.per_block:
+            assert cfg.dim == 3, "per-block buckets are 3D-only"
+            return self._build_bucketed_jit()
         if use_blocked and cfg.dim == 3:
             # adaptive dt over the packed Pallas path (VERDICT r1 #3)
             from taichi_mpm_tpu.ops.packed import packed_adaptive_frame
@@ -158,12 +168,90 @@ class AsyncMPM(MPM):
 
         return jax.jit(fn)
 
+    def _build_bucketed_jit(self):
+        """Per-block bucketed frame: budgets estimated on device from
+        the t=0 level assignment, grown on overflow in step()."""
+        import numpy as np
+
+        from taichi_mpm_tpu.ops import packed
+        from taichi_mpm_tpu.ops.async_bucketed import (
+            MAXLEV,
+            bucketed_frame,
+            slot_levels,
+        )
+        from taichi_mpm_tpu.ops.blocked import nbr_at
+
+        cfg = self.cfg
+        colliders = tuple(self.colliders)
+        cap = self._active_block_cap()
+        self._blocked_cap = None  # bucketed path does its own growth
+        # snap the unit so frame_dt = m * unit * 2^MAXLEV exactly
+        m = max(1, round(self.frame_dt / (self.unit_delta_t * (1 << MAXLEV))))
+        unit = self.frame_dt / (m * (1 << MAXLEV))
+        smul, cmul = self.strength_dt_mul, self.cfl_dt_mul
+
+        # size per-level budgets from the t=0 context demands
+        @jax.jit
+        def demands(p):
+            st = packed.pack_particles(p)
+            st, keys = packed.sort_packed(st, cfg)
+            pm = packed.build_page_map_packed(keys, cfg, cap)
+            lev = slot_levels(st, keys, pm, cfg, unit, smul, cmul)
+            K = pm["ids"].shape[0]
+            counts = pm["e_arr"] - pm["s_arr"]
+            out = []
+            slots = []
+            for L in range(MAXLEV + 1):
+                sel = lev == L
+                ctx = sel
+                for ox in range(3):
+                    for oy in range(3):
+                        for oz in range(3):
+                            if (ox, oy, oz) == (1, 1, 1):
+                                continue
+                            nn = nbr_at(pm["nbr"], ox, oy, oz)
+                            ctx = ctx | jnp.where(
+                                nn < K, sel[jnp.minimum(nn, K - 1)], False
+                            )
+                out.append(jnp.sum(jnp.where(ctx, counts, 0)))
+                slots.append(jnp.sum(ctx.astype(jnp.int32)))
+            return jnp.stack(out), jnp.stack(slots)
+
+        dem, slots = demands(self.particles)
+        dem, slots = np.asarray(dem), np.asarray(slots)
+        budgets = tuple(
+            int(min(
+                packed.padded_width(self.particles.capacity),
+                -(-max(512, int(1.5 * d)) // 512) * 512,
+            ))
+            for d in dem
+        )
+        K_ctx = int(-(-max(64, int(2.0 * slots.max())) // 64) * 64)
+        self._bucket_budgets = budgets
+        self._bucket_Kctx = K_ctx
+        self._bucket_unit = unit
+        self._bucket_K = cap
+
+        interp = jax.default_backend() != "tpu"
+
+        def fn(p, t):
+            p, t, nup, nsel, nact, _ = bucketed_frame(
+                p, t, cfg, colliders, self.frame_dt, unit, cap,
+                budgets, K_ctx, smul, cmul, interpret=interp,
+            )
+            return p, t, nup, nsel, nact
+
+        self._bucketed = True
+        return jax.jit(fn)
+
     def step(self, frame_dt=None):
         if self.particles is None or self._pending:
             self._finalize()
         if self._frame_jit is None:
             self._frame_jit = self._build_jit(0)
             self._frame_substeps = 0
+        if getattr(self, "per_block", False):
+            return self._step_bucketed()
         while True:
             p, t, n, nmax = self._frame_jit(self.particles, self.t)
             cap = getattr(self, "_blocked_cap", None)
@@ -193,4 +281,57 @@ class AsyncMPM(MPM):
         self.particles, self.t = p, t
         self.update_counter += int(n) * int(self.particles.count())
         self.last_substeps = int(n)
+        return self.particles
+
+    def _step_bucketed(self):
+        """Bucketed frame with per-level budget / context-page-map
+        overflow growth (re-jit + re-run, no state modified)."""
+        import numpy as np
+
+        from taichi_mpm_tpu.ops import packed
+        from taichi_mpm_tpu.ops.async_bucketed import (
+            MAXLEV,
+            bucketed_frame,
+        )
+
+        cfg = self.cfg
+        colliders = tuple(self.colliders)
+        while True:
+            p, t, nup, nsel, nact = self._frame_jit(self.particles, self.t)
+            nsel = np.asarray(nsel)
+            nact = int(nact)
+            pwcap = packed.padded_width(self.particles.capacity)
+            grow_b = [
+                int(nsel[L]) > self._bucket_budgets[L]
+                and self._bucket_budgets[L] < pwcap
+                for L in range(MAXLEV + 1)
+            ]
+            grow_k = nact > self._bucket_Kctx
+            if not (any(grow_b) or grow_k):
+                break
+            budgets = tuple(
+                int(min(pwcap, -(-2 * int(nsel[L]) // 512) * 512))
+                if grow_b[L] else self._bucket_budgets[L]
+                for L in range(MAXLEV + 1)
+            )
+            if grow_k:
+                self._bucket_Kctx = int(-(-2 * nact // 64) * 64)
+            self._bucket_budgets = budgets
+            unit, cap, K_ctx = (
+                self._bucket_unit, self._bucket_K, self._bucket_Kctx
+            )
+            smul, cmul = self.strength_dt_mul, self.cfl_dt_mul
+
+            interp = jax.default_backend() != "tpu"
+
+            def fn(p, t):
+                p, t, nup, nsel, nact, _ = bucketed_frame(
+                    p, t, cfg, colliders, self.frame_dt, unit, cap,
+                    budgets, K_ctx, smul, cmul, interpret=interp,
+                )
+                return p, t, nup, nsel, nact
+
+            self._frame_jit = jax.jit(fn)
+        self.particles, self.t = p, t
+        self.update_counter += int(nup)
         return self.particles

@@ -1,0 +1,387 @@
+"""Multi-chip spatial decomposition on a 2-D (x, y) device mesh.
+
+Generalizes parallel/spatial_blocked.py's 1-D slabs to pencils: each
+shard owns a (Wcx, Wcy, res_z) column of the domain plus one ghost
+block per side in x AND y. The same lazy-sort machinery runs per shard
+in the local block frame; the boundary-record exchange runs as TWO
+sequential single-axis exchanges (x planes, then y planes) — the
+separable-composition argument from the halo merge applies: a corner
+(diagonal-neighbor) contribution reaches its destination through the
+x-exchange of the diagonal's x-neighbor followed by that shard's
+y-exchange, because the y-planes span the full local x extent
+including the x-ghost columns. Cross-shard migration at re-sort time
+likewise hops x first, then y (a diagonal migrant is forwarded by the
+intermediate shard within the same re-sort event).
+
+This is the scaling shape a pod wants: a (Sx, Sy) mesh over ICI with
+ring ppermutes per axis, res_x/res_y divisible by 4*Sx / 4*Sy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from taichi_mpm_tpu.config import SimConfig
+from taichi_mpm_tpu.core.state import Particles
+from taichi_mpm_tpu.core.transfer import g2p_finish
+from taichi_mpm_tpu.ops import blocked
+from taichi_mpm_tpu.ops.blocked import sort_particles_by_keys
+from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
+from taichi_mpm_tpu.ops.p2g_pallas import CHUNK, p2g_blocked
+from taichi_mpm_tpu.ops.substep import (
+    _round_up,
+    build_page_map_full,
+    grid_update_flat,
+    prep_p2g,
+)
+
+GHOST_CELLS = 4
+
+
+def pencil_cells(cfg: SimConfig, shards, axis_i: int) -> int:
+    n = shards[axis_i]
+    assert cfg.res[axis_i] % (4 * n) == 0, (
+        f"res[{axis_i}]={cfg.res[axis_i]} must divide by 4*shards={4 * n}"
+    )
+    return cfg.res[axis_i] // n
+
+
+def local_config(cfg: SimConfig, shards) -> SimConfig:
+    Wx = pencil_cells(cfg, shards, 0)
+    Wy = pencil_cells(cfg, shards, 1)
+    return dataclasses.replace(
+        cfg, res=(Wx + 2 * GHOST_CELLS, Wy + 2 * GHOST_CELLS, cfg.res[2]),
+        dx=cfg.dx,
+    )
+
+
+def shard_offsets_cells(sx, sy, cfg: SimConfig, shards):
+    Wx = pencil_cells(cfg, shards, 0)
+    Wy = pencil_cells(cfg, shards, 1)
+    return (
+        (sx * Wx - GHOST_CELLS).astype(jnp.float32),
+        (sy * Wy - GHOST_CELLS).astype(jnp.float32),
+    )
+
+
+def _local_keys(p: Particles, offx, offy, cfg: SimConfig, lcfg: SimConfig):
+    off = jnp.stack([offx * cfg.dx, offy * cfg.dx,
+                     jnp.zeros_like(offx)], -1)
+    total = blocked.total_blocks_padded(lcfg)
+    return jnp.where(
+        p.active, blocked.block_id_of(p.x - off, lcfg), total
+    )
+
+
+def _axis_planes(rec, pm, lcfg: SimConfig, axis_i: int, cols):
+    """Gather the records of whole block planes perpendicular to
+    axis_i (0 = x planes over (by, bz); 1 = y planes over (bx, bz))."""
+    nbp = blocked.num_blocks_padded(lcfg)
+    K = pm["ids"].shape[0]
+    planes = []
+    for col in cols:
+        if axis_i == 0:
+            a = jnp.arange(nbp[1], dtype=jnp.int32)[:, None]
+            b = jnp.arange(nbp[2], dtype=jnp.int32)[None, :]
+            bid = (col * nbp[1] + a) * nbp[2] + b
+        else:
+            a = jnp.arange(nbp[0], dtype=jnp.int32)[:, None]
+            b = jnp.arange(nbp[2], dtype=jnp.int32)[None, :]
+            bid = (a * nbp[1] + col) * nbp[2] + b
+        slot = pm["slot_map"][bid]
+        ok = slot < K
+        planes.append(
+            jnp.where(ok[..., None], rec[jnp.minimum(slot, K - 1)], 0.0)
+        )
+    return jnp.stack(planes, 0)
+
+
+def _add_axis_planes(rec, pm, lcfg: SimConfig, axis_i: int, cols, planes):
+    nbp = blocked.num_blocks_padded(lcfg)
+    K = pm["ids"].shape[0]
+    for i, col in enumerate(cols):
+        if axis_i == 0:
+            a = jnp.arange(nbp[1], dtype=jnp.int32)[:, None]
+            b = jnp.arange(nbp[2], dtype=jnp.int32)[None, :]
+            bid = (col * nbp[1] + a) * nbp[2] + b
+        else:
+            a = jnp.arange(nbp[0], dtype=jnp.int32)[:, None]
+            b = jnp.arange(nbp[2], dtype=jnp.int32)[None, :]
+            bid = (a * nbp[1] + col) * nbp[2] + b
+        slot = pm["slot_map"][bid]
+        ok = (slot < K)[..., None]
+        rec = rec.at[jnp.minimum(slot, K - 1).reshape(-1)].add(
+            jnp.where(ok, planes[i], 0.0).reshape(-1, rec.shape[-1])
+        )
+    return rec
+
+
+def _exchange_axis(rec, pm, lcfg, mesh_axis: str, n_shards: int, Wb: int,
+                   axis_i: int):
+    lo_cols = (0, 1)
+    hi_cols = (Wb, Wb + 1)
+    lo = _axis_planes(rec, pm, lcfg, axis_i, lo_cols)
+    hi = _axis_planes(rec, pm, lcfg, axis_i, hi_cols)
+    right = [(i, i + 1) for i in range(n_shards - 1)]
+    left = [(i + 1, i) for i in range(n_shards - 1)]
+    from_left = jax.lax.ppermute(hi, mesh_axis, right)
+    from_right = jax.lax.ppermute(lo, mesh_axis, left)
+    rec = _add_axis_planes(rec, pm, lcfg, axis_i, lo_cols, from_left)
+    rec = _add_axis_planes(rec, pm, lcfg, axis_i, hi_cols, from_right)
+    return rec
+
+
+def _zero_edge_ghosts(rec, pm, lcfg, s, n_shards: int, axis_i: int):
+    """Zero the ghost plane outside the global domain on edge shards
+    (both low col 0 for shard 0 and high col nb-1... the high padded
+    block col already has no owner on interior shards; only the LOW
+    ghost plane maps to global block -1)."""
+    K = pm["ids"].shape[0]
+    planes = _axis_planes(rec, pm, lcfg, axis_i, (0,))
+    nbp = blocked.num_blocks_padded(lcfg)
+    if axis_i == 0:
+        a = jnp.arange(nbp[1], dtype=jnp.int32)[:, None]
+        b = jnp.arange(nbp[2], dtype=jnp.int32)[None, :]
+        bid0 = (0 * nbp[1] + a) * nbp[2] + b
+    else:
+        a = jnp.arange(nbp[0], dtype=jnp.int32)[:, None]
+        b = jnp.arange(nbp[2], dtype=jnp.int32)[None, :]
+        bid0 = (a * nbp[1] + 0) * nbp[2] + b
+    slot0 = pm["slot_map"][bid0]
+    ok0 = ((slot0 < K) & (s == 0))[..., None]
+    rec = rec.at[jnp.minimum(slot0, K - 1).reshape(-1)].multiply(
+        jnp.where(ok0, 0.0, 1.0).reshape(-1, 1)
+    )
+    return rec
+
+
+def _migrate_axis(p: Particles, s, mesh_axis: str, cfg: SimConfig,
+                  axis_i: int, n_shards: int, W: int, budget: int):
+    """One budgeted migration round along one mesh axis (the 1-D
+    machinery of parallel.spatial.migrate, per axis)."""
+    from taichi_mpm_tpu.parallel.spatial import _take
+
+    budget = min(budget, p.capacity // 2)
+    c = jnp.floor(p.x[:, axis_i] * cfg.inv_dx).astype(jnp.int32)
+    dest = jnp.clip(c // W, 0, n_shards - 1)
+    go_left = p.active & (dest < s)
+    go_right = p.active & (dest > s)
+
+    def pack(mask):
+        order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
+        buf = _take(p, order[:budget])
+        sent = mask[order[:budget]]
+        buf = dataclasses.replace(buf, active=sent)
+        return buf
+
+    buf_l = pack(go_left)
+    buf_r = pack(go_right)
+    left = [(i + 1, i) for i in range(n_shards - 1)]
+    right = [(i, i + 1) for i in range(n_shards - 1)]
+    recv_r = jax.tree.map(lambda a: jax.lax.ppermute(a, mesh_axis, left), buf_l)
+    recv_l = jax.tree.map(lambda a: jax.lax.ppermute(a, mesh_axis, right), buf_r)
+    p = dataclasses.replace(p, active=p.active & ~(go_left | go_right))
+    both = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], 0), recv_l, recv_r
+    )
+    free_order = jnp.argsort(jnp.where(p.active, 1, 0), stable=True)
+    slots = free_order[: 2 * budget]
+    n_free = jnp.sum(~p.active)
+    rank = jnp.cumsum(both.active) - 1
+    ok = both.active & (rank < n_free)
+    merged = jax.tree.map(
+        lambda dst, src: dst.at[slots].set(
+            jnp.where(ok.reshape((-1,) + (1,) * (src.ndim - 1)), src, dst[slots])
+        ),
+        p, both,
+    )
+    demand = jnp.maximum(jnp.sum(go_left), jnp.sum(go_right))
+    demand = jnp.where(
+        jnp.sum(both.active & ~ok) > 0, jnp.int32(p.capacity), demand
+    )
+    return merged, demand.astype(jnp.int32)
+
+
+def build_spatial_mesh2d_frame(
+    cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    K: int = 1024, budget: int = 256, interpret: bool = False,
+):
+    """Jitted shard_map frame over a 2-D ('x', 'y') mesh (pencils).
+    Returns fn(p, t) -> (p, t, needed, n_act)."""
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    shards = (Sx, Sy)
+    lcfg = local_config(cfg, shards)
+    Wx = pencil_cells(cfg, shards, 0)
+    Wy = pencil_cells(cfg, shards, 1)
+    Wbx, Wby = Wx // 4, Wy // 4
+
+    def local_frame(p: Particles, t):
+        sx = jax.lax.axis_index("x")
+        sy = jax.lax.axis_index("y")
+        offx, offy = shard_offsets_cells(sx, sy, cfg, shards)
+
+        def resort(p):
+            p, need_x = _migrate_axis(p, sx, "x", cfg, 0, Sx, Wx, budget)
+            p, need_y = _migrate_axis(p, sy, "y", cfg, 1, Sy, Wy, budget)
+            keys = _local_keys(p, offx, offy, cfg, lcfg)
+            p, keys, _ = sort_particles_by_keys(p, keys)
+            pm = build_page_map_full(keys, lcfg, K)
+            return p, keys, pm, jnp.maximum(need_x, need_y)
+
+        p, keys, pm, needed0 = resort(p)
+
+        def body(carry, _):
+            p, keys, pm, drift, t, need_max, na = carry
+            n = p.capacity
+            pw = _round_up(n, CHUNK)
+            origin_g = pm["origin"] + jnp.stack(
+                [offx, offy, jnp.zeros_like(offx)], -1
+            )
+            pdata = prep_p2g(p, keys, cfg, cfg.base_dt, origin=origin_g)
+            tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata,
+                                interpret=interpret)
+            rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+            rec = _exchange_axis(rec, pm, lcfg, "x", Sx, Wbx, 0)
+            rec = _exchange_axis(rec, pm, lcfg, "y", Sy, Wby, 1)
+            rec = _zero_edge_ghosts(rec, pm, lcfg, sx, Sx, 0)
+            rec = _zero_edge_ghosts(rec, pm, lcfg, sy, Sy, 1)
+
+            from taichi_mpm_tpu.parallel.spatial_blocked import (
+                shifted_colliders,
+            )
+
+            # colliders shifted in BOTH axes
+            xoff = offx * cfg.dx
+            yoff = offy * cfg.dx
+            sc = tuple(
+                dataclasses.replace(
+                    c,
+                    sdf=(lambda c_: lambda x, tt: c_.sdf(
+                        x + jnp.stack(
+                            [xoff, yoff, jnp.zeros_like(xoff)]
+                        ).astype(x.dtype), tt))(c),
+                    normal_fn=(lambda c_: (
+                        (lambda x, tt: c_.normal_fn(
+                            x + jnp.stack(
+                                [xoff, yoff, jnp.zeros_like(xoff)]
+                            ).astype(x.dtype), tt))
+                        if c_.normal_fn is not None else None))(c),
+                    velocity=(lambda c_: (
+                        (lambda x, tt: c_.velocity(
+                            x + jnp.stack(
+                                [xoff, yoff, jnp.zeros_like(xoff)]
+                            ).astype(x.dtype), tt))
+                        if c_.velocity is not None else None))(c),
+                )
+                for c in colliders
+            )
+            vrec = grid_update_flat(rec, pm["ids"], lcfg, sc, t, cfg.base_dt)
+            gtiles = blocked.windows_mm(vrec, pm["nbr"])
+
+            keys2d = jnp.pad(
+                pm["slot_keys"][None, :], ((0, 0), (0, pw - n)),
+                constant_values=pm["ids"].shape[0],
+            )
+            posg = jnp.pad(pdata[13:16, :pw], ((0, 5), (0, 0)))
+            pout = g2p_blocked(
+                keys2d, posg, gtiles,
+                jnp.asarray([pm["ids"].shape[0]], jnp.int32),
+                interpret=interpret,
+            )
+            pout = pout[:, :n].T
+            v_new = jnp.where(p.active[:, None], pout[:, 0:3], 0.0)
+            b_new = jnp.where(
+                p.active[:, None, None], pout[:, 3:12].reshape(n, 3, 3), 0.0
+            )
+            p = g2p_finish(p, v_new, b_new, cfg, cfg.base_dt)
+            vmax = jnp.max(jnp.where(p.active[:, None], jnp.abs(p.v), 0.0))
+
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+
+            def do_resort(p):
+                return resort(jax.lax.optimization_barrier(p))
+
+            def keep(p):
+                return p, keys, pm, jnp.int32(0)
+
+            p, keys, pm, needed = jax.lax.cond(need, do_resort, keep, p)
+            drift = jnp.where(need, 0.0, drift)
+            return (p, keys, pm, drift, t + cfg.base_dt,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"])), None
+
+        carry = (p, keys, pm, jnp.float32(0.0), t, needed0, pm["n_act"])
+        (p, keys, pm, _, t, need_max, n_act), _ = jax.lax.scan(
+            body, carry, None, length=n_substeps
+        )
+        pm2 = jax.lax.pmax(jax.lax.pmax(need_max, "x"), "y")
+        na2 = jax.lax.pmax(jax.lax.pmax(n_act, "x"), "y")
+        return p, t, pm2, na2
+
+    pspec = P(("x", "y"))
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P()),
+        out_specs=(p_specs, P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_pencils(p: Particles, cfg: SimConfig, mesh: Mesh, slack: float = 1.5):
+    """Host-side: bin particles into (x, y) pencils, pad to equal local
+    capacity, device_put over the 2-D mesh."""
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    Wx = pencil_cells(cfg, (Sx, Sy), 0)
+    Wy = pencil_cells(cfg, (Sx, Sy), 1)
+    x = np.asarray(p.x)
+    act = np.asarray(p.active)
+    cx = np.clip((x[:, 0] / cfg.dx).astype(np.int64), 0, cfg.res[0] - 1)
+    cy = np.clip((x[:, 1] / cfg.dx).astype(np.int64), 0, cfg.res[1] - 1)
+    pencil = np.clip(cx // Wx, 0, Sx - 1) * Sy + np.clip(cy // Wy, 0, Sy - 1)
+    S = Sx * Sy
+    counts = np.bincount(pencil[act], minlength=S)
+    C_local = max(8, int(np.ceil(counts.max() * slack)))
+
+    def reorganize(a):
+        a = np.asarray(a)
+        out = np.zeros((S * C_local,) + a.shape[1:], a.dtype)
+        for sh in range(S):
+            sel = act & (pencil == sh)
+            n = sel.sum()
+            out[sh * C_local : sh * C_local + n] = a[sel]
+        return out
+
+    arrays = {
+        f.name: reorganize(getattr(p, f.name))
+        for f in dataclasses.fields(p)
+        if f.name != "active"
+    }
+    active = np.zeros(S * C_local, bool)
+    for sh in range(S):
+        active[sh * C_local : sh * C_local + int(counts[sh])] = True
+    eye = np.eye(cfg.dim, dtype=np.float32)
+    arrays["F"][~active] = eye
+    p_new = Particles(
+        active=jnp.asarray(active),
+        **{k: jnp.asarray(v) for k, v in arrays.items()},
+    )
+    put = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(("x", "y"), *([None] * (a.ndim - 1))))
+    )
+    return jax.tree.map(put, p_new)

@@ -113,3 +113,24 @@ class TestPackedAdaptive:
         # substep counts agree within one (dt schedules can differ by
         # one fp-rounding snap)
         assert abs(int(n1) - int(n2)) <= 1
+
+
+class TestPerBlockDriver:
+    def test_async_mpm_per_block_runs(self):
+        """AsyncMPM(per_block=True): the bucketed scheduler through the
+        user-facing driver (budget estimation + overflow growth)."""
+        rng = np.random.default_rng(0)
+        sim = AsyncMPM(res=(32, 32, 32), base_delta_t=1e-3,
+                       frame_dt=6.4e-3, unit_delta_t=1e-4,
+                       per_block=True, gravity=(0, 0, 0))
+        pos = np.concatenate([
+            rng.uniform([0.15, 0.3, 0.3], [0.4, 0.6, 0.6], (900, 3)),
+            rng.uniform([0.6, 0.4, 0.4], [0.8, 0.6, 0.6], (300, 3)),
+        ]).astype(np.float32)
+        sim.add_particles("elastic", pos=pos[:900], E=4e3, nu=0.3)
+        sim.add_particles("elastic", pos=pos[900:], E=4e5, nu=0.3)
+        for _ in range(2):
+            sim.step()
+        assert sim.update_counter > 0
+        x = sim.positions()
+        assert np.all(np.isfinite(x)) and len(x) == 1200
