@@ -283,6 +283,83 @@ class AsyncMPM(MPM):
         self.last_substeps = int(n)
         return self.particles
 
+    def visualize_scheduler(self, path: str):
+        """Dump per-particle scheduler state to a BGEO: the material
+        strength dt limit, the advection CFL limit, the combined limit,
+        and (per_block mode) the particle's block dt LEVEL — the
+        reference's async debug output (AsyncMPM::visualize,
+        async_visualize.cpp:12-163)."""
+        import numpy as np
+
+        from taichi_mpm_tpu.io.bgeo import write_bgeo
+
+        if self.particles is None or self._pending:
+            self._finalize()
+        p, cfg = self.particles, self.cfg
+        speed = jnp.linalg.norm(p.v, axis=-1)
+        a_dt = materials.dispatch_allowed_dt(
+            cfg.active_materials, p.mat, p.F, p.aux, p.params, p.vol,
+            p.mass, speed, cfg.dx,
+        )
+        cfl = self.cfl_dt_mul * cfg.dx / jnp.maximum(speed, 1e-30)
+        strength = a_dt * self.strength_dt_mul
+        limit = jnp.minimum(strength, cfl)
+        act = np.asarray(p.active)
+        attrs = {
+            "limit_strength": np.asarray(strength)[act],
+            "limit_cfl": np.asarray(cfl)[act],
+            "limit": np.asarray(limit)[act],
+        }
+        if self.per_block:
+            from taichi_mpm_tpu.ops import packed
+            from taichi_mpm_tpu.ops.async_bucketed import (
+                MAXLEV,
+                slot_levels,
+            )
+
+            cap = self._active_block_cap()
+            m = max(
+                1, round(self.frame_dt / (self.unit_delta_t * (1 << MAXLEV)))
+            )
+            unit = self.frame_dt / (m * (1 << MAXLEV))
+
+            @jax.jit
+            def levels(p):
+                st = packed.pack_particles(p)
+                st, keys = packed.sort_packed(st, cfg)
+                pm = packed.build_page_map_packed(keys, cfg, cap)
+                lev = slot_levels(
+                    st, keys, pm, cfg, unit, self.strength_dt_mul,
+                    self.cfl_dt_mul,
+                )
+                K = pm["ids"].shape[0]
+                lane_lev = jnp.where(
+                    pm["slot_keys"] < K,
+                    lev[jnp.minimum(pm["slot_keys"], K - 1)], -1
+                )
+                # return in sorted order with the sorted positions
+                pw = st.shape[0] // packed.NCH
+                xs = jnp.stack(
+                    [packed.row(st, packed.RX + k, pw) for k in range(3)],
+                    -1,
+                )
+                acts = packed.row(st, packed.RACT, pw) > 0.5
+                return xs, lane_lev, acts
+
+            xs, lane_lev, acts = levels(p)
+            acts = np.asarray(acts)
+            write_bgeo(
+                path, np.asarray(xs)[acts],
+                {
+                    "dt_level": np.asarray(lane_lev)[acts].astype(np.float32),
+                    "dt_block": (
+                        unit * np.exp2(np.asarray(lane_lev)[acts])
+                    ).astype(np.float32),
+                },
+            )
+            return
+        write_bgeo(path, np.asarray(p.x)[act], attrs)
+
     def _step_bucketed(self):
         """Bucketed frame with per-level budget / context-page-map
         overflow growth (re-jit + re-run, no state modified)."""

@@ -134,3 +134,32 @@ class TestPerBlockDriver:
         assert sim.update_counter > 0
         x = sim.positions()
         assert np.all(np.isfinite(x)) and len(x) == 1200
+
+
+class TestSchedulerVisualize:
+    def test_visualize_scheduler(self, tmp_path):
+        """Async debug output parity (async_visualize.cpp:12-163):
+        per-particle dt limits, and block dt levels in per_block mode."""
+        rng = np.random.default_rng(0)
+        for per_block in (False, True):
+            sim = AsyncMPM(res=(32, 32, 32), base_delta_t=1e-3,
+                           frame_dt=6.4e-3, unit_delta_t=1e-4,
+                           per_block=per_block, gravity=(0, 0, 0))
+            sim.add_particles(
+                "elastic",
+                pos=rng.uniform(0.3, 0.7, (400, 3)).astype(np.float32),
+                E=4e3, nu=0.3,
+            )
+            out = tmp_path / f"sched_{per_block}.bgeo"
+            sim.visualize_scheduler(str(out))
+            assert out.stat().st_size > 100
+            from taichi_mpm_tpu.io.bgeo import read_bgeo
+
+            pos, attrs = read_bgeo(str(out))
+            assert len(pos) == 400
+            if per_block:
+                assert "dt_level" in attrs
+                assert attrs["dt_level"].min() >= 0
+            else:
+                assert "limit" in attrs
+                assert np.all(attrs["limit"] > 0)
