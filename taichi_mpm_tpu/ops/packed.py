@@ -469,21 +469,21 @@ def packed_adaptive_frame(
     return unpack_particles(st, cap), t, n, nmax
 
 
-def packed_frame(
-    p: Particles, t, cfg: SimConfig, colliders, dt, n_substeps: int, K: int,
+def packed_frame_carry(
+    carry, t, cfg: SimConfig, colliders, dt, n_substeps: int, K: int,
     interpret: bool = False,
 ):
-    """A frame on the packed path with drift-triggered lazy re-sorting.
-    Takes/returns a Particles pytree (pack/unpack at the frame edges);
-    returns (p, t, max n_act, n_sorts, plast_count)."""
-    cap = p.capacity
-    st0 = pack_particles(p)
+    """A frame over a PERSISTENT packed carry (st, keys, pm, drift):
+    no frame-edge pack/sort — the lazy re-sort discipline continues
+    seamlessly across frames (the driver caches the carry between
+    MPM.step calls and invalidates it whenever the particle set is
+    mutated outside the frame loop). Returns
+    (carry, t, max n_act, n_sorts, plast_count)."""
+    st, keys, pm, drift = carry
 
     def resort(st):
         st, keys = sort_packed(st, cfg)
         return st, keys, build_page_map_packed(keys, cfg, K)
-
-    st, keys, pm = resort(st0)
 
     def body(carry, _):
         st, keys, pm, drift, t, nmax, nsorts, plast = carry
@@ -506,9 +506,31 @@ def packed_frame(
         return (st, keys, pm, drift, t, jnp.maximum(nmax, n_act), nsorts,
                 plast + dplast), None
 
-    carry = (st, keys, pm, jnp.float32(0.0), t, pm["n_act"], jnp.int32(1),
-             jnp.int32(0))
-    (st, keys, pm, _, t, nmax, nsorts, plast), _ = jax.lax.scan(
-        body, carry, None, length=n_substeps
+    scarry = (st, keys, pm, drift, t, pm["n_act"], jnp.int32(0), jnp.int32(0))
+    (st, keys, pm, drift, t, nmax, nsorts, plast), _ = jax.lax.scan(
+        body, scarry, None, length=n_substeps
     )
-    return unpack_particles(st, cap), t, nmax, nsorts, plast
+    return (st, keys, pm, drift), t, nmax, nsorts, plast
+
+
+def pack_carry(p: Particles, cfg: SimConfig, K: int):
+    """Build the persistent packed carry from a Particles pytree."""
+    st = pack_particles(p)
+    st, keys = sort_packed(st, cfg)
+    pm = build_page_map_packed(keys, cfg, K)
+    return (st, keys, pm, jnp.float32(0.0))
+
+
+def packed_frame(
+    p: Particles, t, cfg: SimConfig, colliders, dt, n_substeps: int, K: int,
+    interpret: bool = False,
+):
+    """A frame on the packed path with drift-triggered lazy re-sorting.
+    Takes/returns a Particles pytree (pack/sort/unpack at the frame
+    edges); returns (p, t, max n_act, n_sorts, plast_count)."""
+    cap = p.capacity
+    carry = pack_carry(p, cfg, K)
+    carry, t, nmax, nsorts, plast = packed_frame_carry(
+        carry, t, cfg, colliders, dt, n_substeps, K, interpret=interpret
+    )
+    return unpack_particles(carry[0], cap), t, nmax, nsorts + 1, plast
