@@ -96,6 +96,104 @@ def device_memory_report(device=None) -> Optional[dict]:
     }
 
 
+def stage_report(sim, substeps: int = 20, repeats: int = 3,
+                 interpret: bool = None) -> dict:
+    """Per-stage substep timing on the CURRENT scene — the analog of
+    the reference's hierarchical TC_PROFILE tree around every substep
+    stage (mpm.cpp:464-571). Each stage is timed as a jitted xN loop
+    whose result is reduced to a scalar on device (required on the
+    axon tunnel; see CLAUDE.md). Stages: prep (force/affine build),
+    p2g kernel, halo merge, grid update, window assembly, g2p kernel,
+    finish (plasticity/advect). Returns {stage: ms_per_substep}."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from taichi_mpm_tpu.ops import blocked, packed
+    from taichi_mpm_tpu.ops import g2p_pallas, p2g_pallas
+    from taichi_mpm_tpu.ops.p2g_pallas import BATCH
+    from taichi_mpm_tpu.ops.substep import grid_update_flat
+
+    if sim.particles is None or sim._pending:
+        sim._finalize()
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    cfg = sim.cfg
+    assert cfg.dim == 3, "stage_report profiles the 3D blocked path"
+    colliders = tuple(sim.colliders)
+    cap = sim._active_block_cap()
+    cap = -(-cap // (64 * BATCH)) * 64 * BATCH
+    p2g_blocked_batched = functools.partial(
+        p2g_pallas.p2g_blocked_batched, interpret=interpret
+    )
+    g2p_blocked = functools.partial(g2p_pallas.g2p_blocked,
+                                    interpret=interpret)
+    st = packed.pack_particles(sim.particles)
+    st, keys = packed.sort_packed(st, cfg)
+    pm = packed.build_page_map_packed(keys, cfg, cap)
+    dt = cfg.base_dt
+    pdata, (px, py, pz) = packed.prep_packed(st, keys, cfg, dt)
+    tiles = p2g_blocked_batched(pm["s_arr"], pm["e_arr"], pdata)
+    rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+    vrec = grid_update_flat(rec, pm["ids"], cfg, colliders, 0.0, dt)
+    gtiles = blocked.windows_mm(vrec, pm["nbr"])
+    pw = st.shape[0] // packed.NCH
+    zero = jnp.zeros((pw,), jnp.float32)
+    posg = jnp.stack([px, py, pz] + [zero] * 5, 0)
+    keys2d = pm["slot_keys"][None, :]
+    nbd = jnp.asarray([cap], jnp.int32)
+    pout = g2p_blocked(keys2d, posg, gtiles, nbd)
+
+    def loop(f, arg):
+        @jax.jit
+        def run(a):
+            def body(c, _):
+                r = f(a)
+                return c + r, None
+            c, _ = jax.lax.scan(
+                body, jnp.float32(0.0), None, length=substeps
+            )
+            return c
+
+        float(run(arg))  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(arg))
+            best = min(best, time.perf_counter() - t0)
+        return best / substeps * 1e3
+
+    stages = {
+        "prep": (lambda a: packed.prep_packed(a, keys, cfg, dt)[0][0, 0], st),
+        "p2g": (
+            lambda a: p2g_blocked_batched(pm["s_arr"], pm["e_arr"], a)[0, 0, 0],
+            pdata,
+        ),
+        "merge": (lambda a: blocked.merge_tiles_mm(a, pm["nbr"])[0, 0], tiles),
+        "grid": (
+            lambda a: grid_update_flat(
+                a, pm["ids"], cfg, colliders, 0.0, dt
+            )[0, 0],
+            rec,
+        ),
+        "windows": (lambda a: blocked.windows_mm(a, pm["nbr"])[0, 0, 0], vrec),
+        "g2p": (
+            lambda a: g2p_blocked(keys2d, posg, a, nbd)[0, 0], gtiles
+        ),
+        "finish": (
+            lambda a: packed.finish_packed(
+                a, tuple(pout[i] for i in range(12)), cfg, dt
+            )[0][0],
+            st,
+        ),
+    }
+    report = {name: loop(f, arg) for name, (f, arg) in stages.items()}
+    report["total_stages"] = sum(report.values())
+    return report
+
+
 def simulate_with_energy(sim, num_frames: int, frame_update=None):
     """Frame loop returning per-frame mechanical energy — the reference's
     conservation diagnostic (simulate_with_energy,

@@ -133,3 +133,23 @@ class TestEnergyConservation:
         assert np.all(np.isfinite(e))
         assert e.max() <= e[0] * 1.1 + 1e-12   # no energy gain
         assert e[-1] >= e[0] * 0.5             # not over-dissipated
+
+
+class TestStageReport:
+    def test_stage_report(self):
+        """Per-stage substep profiler (TC_PROFILE analog,
+        mpm.cpp:464-571) runs and reports every pipeline stage."""
+        import numpy as np
+
+        from taichi_mpm_tpu.core.solver import MPM
+        from taichi_mpm_tpu.diagnostics import stage_report
+
+        rng = np.random.default_rng(0)
+        sim = MPM(res=(32, 32, 32), base_delta_t=2e-4)
+        sim.add_particles(
+            "jelly", pos=rng.uniform(0.3, 0.7, (2000, 3)).astype(np.float32),
+            E=1e4, nu=0.3,
+        )
+        rep = stage_report(sim, substeps=2, repeats=1)
+        for k in ("prep", "p2g", "merge", "grid", "windows", "g2p", "finish"):
+            assert k in rep and rep[k] >= 0.0
