@@ -7,13 +7,15 @@ SIGGRAPH 2018). See SURVEY.md for the component-by-component map.
 
 from taichi_mpm_tpu.config import SimConfig
 from taichi_mpm_tpu.core import levelset
+from taichi_mpm_tpu.core.adaptive import AsyncMPM
 from taichi_mpm_tpu.core.solver import MPM, mechanical_energy
 from taichi_mpm_tpu.core.state import Particles, empty_particles
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "MPM",
+    "AsyncMPM",
     "SimConfig",
     "Particles",
     "empty_particles",
