@@ -485,22 +485,31 @@ class MPM:
                                 b1: int, Kr: int):
         cfg = self.cfg
         scene = self.rigid_scene
-        from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_frame
+        from taichi_mpm_tpu.rigid.cpic_blocked import (
+            cpic_frame_carry,
+            cpic_pack_carry,
+        )
 
         self._blocked_cap = cap
         self._near_budget = near
         self._near_b1 = b1
         self._rigid_cap = Kr
+        self._pcarry = None  # persistent sorted carry, like the plain path
 
-        def fn(p, bodies, t):
-            p, bodies, t, n_act, n_near, n_coarse, n_r, _, plast = (
-                cpic_blocked_frame(
-                    p, bodies, t, cfg, scene, cfg.base_dt, n_substeps, cap,
-                    near, b1, Kr
+        @jax.jit
+        def pack_fn(p):
+            return cpic_pack_carry(p, cfg, cap)
+
+        def fn(carry, bodies, t):
+            carry, bodies, t, n_act, n_near, n_coarse, n_r, _, plast = (
+                cpic_frame_carry(
+                    carry, bodies, t, cfg, scene, cfg.base_dt, n_substeps,
+                    cap, near, b1, Kr
                 )
             )
-            return p, bodies, t, n_act, n_near, n_coarse, n_r, plast
+            return carry, bodies, t, n_act, n_near, n_coarse, n_r, plast
 
+        self._pack_jit = pack_fn
         return jax.jit(fn)
 
     def _build_blocked_jit(self, n_substeps: int, cap: int):
@@ -546,8 +555,10 @@ class MPM:
 
             nbt = total_blocks_padded(self.cfg)
             while True:
-                p2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
-                    self._frame_jit(self.particles, self.bodies, self.t)
+                if self._pcarry is None:
+                    self._pcarry = self._pack_jit(self.particles)
+                carry2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
+                    self._frame_jit(self._pcarry, self.bodies, self.t)
                 )
                 n_act, n_near, n_coarse, n_r = (
                     int(n_act), int(n_near), int(n_coarse), int(n_r)
@@ -563,7 +574,9 @@ class MPM:
                 )
                 grow_kr = n_r > self._rigid_cap and self._rigid_cap < nbt
                 if not (grow_cap or grow_near or grow_b1 or grow_kr):
-                    self.particles, self.bodies, self.t = p2, b2, t2
+                    self._pcarry = carry2
+                    self.particles = carry2[0]
+                    self.bodies, self.t = b2, t2
                     self.plasticity_counter += int(plast)
                     break
                 cap = self._blocked_cap

@@ -593,24 +593,30 @@ def cpic_blocked_substep(
     return (p, bodies, t), pm["n_act"], n_near
 
 
-def cpic_blocked_frame(
-    p: Particles, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
+def cpic_pack_carry(p: Particles, cfg: SimConfig, K: int):
+    """Build the persistent CPIC carry (sorted particles + keys +
+    page map + drift) from a Particles pytree."""
+    p, keys, _ = sort_particles(p, cfg)
+    return (p, keys, build_page_map_full(keys, cfg, K), jnp.float32(0.0))
+
+
+def cpic_frame_carry(
+    carry, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
     K: int, near_budget: int, b1: int = 0, Kr: int = 0,
     interpret: bool = False,
 ):
-    """A CPIC frame with drift-triggered lazy re-sorting (the CPIC
-    analog of ops.substep.blocked_frame): sort once, run substeps
-    against the frozen page map, re-sort inside the scan only when the
-    accumulated max displacement approaches half a cell.
+    """A CPIC frame over a PERSISTENT carry (p, keys, pm, drift): the
+    lazy re-sort discipline continues across frames (same contract as
+    ops.packed.packed_frame_carry — the driver caches the carry between
+    steps and invalidates it when the particle set is mutated).
 
-    Returns (p, bodies, t, max n_act, max n_near, max n_coarse,
-    max n_r, n_sorts)."""
+    Returns (carry, bodies, t, max n_act, max n_near, max n_coarse,
+    max n_r, n_sorts, plast)."""
+    p, keys, pm, drift0 = carry
 
     def resort(p):
         p, keys, _ = sort_particles(p, cfg)
         return p, keys, build_page_map_full(keys, cfg, K)
-
-    p, keys, pm = resort(p)
 
     def body(carry, _):
         (p, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr,
@@ -643,13 +649,37 @@ def cpic_blocked_frame(
             plast + dplast,
         ), None
 
-    carry = (
-        p, keys, pm, bodies, jnp.float32(0.0), t, pm["n_act"],
-        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
+    scarry = (
+        p, keys, pm, bodies, drift0, t, pm["n_act"],
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
         jnp.int32(0),
     )
-    (p, keys, pm, bodies, _, t, nmax, nnear, ncoarse, nr, nsorts,
+    (p, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr, nsorts,
      plast), _ = (
-        jax.lax.scan(body, carry, None, length=n_substeps)
+        jax.lax.scan(body, scarry, None, length=n_substeps)
     )
-    return p, bodies, t, nmax, nnear, ncoarse, nr, nsorts, plast
+    return ((p, keys, pm, drift), bodies, t, nmax, nnear, ncoarse, nr,
+            nsorts, plast)
+
+
+def cpic_blocked_frame(
+    p: Particles, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
+    K: int, near_budget: int, b1: int = 0, Kr: int = 0,
+    interpret: bool = False,
+):
+    """A CPIC frame with drift-triggered lazy re-sorting (the CPIC
+    analog of ops.substep.blocked_frame): sort once, run substeps
+    against the frozen page map, re-sort inside the scan only when the
+    accumulated max displacement approaches half a cell.
+
+    Returns (p, bodies, t, max n_act, max n_near, max n_coarse,
+    max n_r, n_sorts)."""
+    carry = cpic_pack_carry(p, cfg, K)
+    carry, bodies, t, nmax, nnear, ncoarse, nr, nsorts, plast = (
+        cpic_frame_carry(
+            carry, bodies, t, cfg, scene, dt, n_substeps, K, near_budget,
+            b1, Kr, interpret=interpret,
+        )
+    )
+    return (carry[0], bodies, t, nmax, nnear, ncoarse, nr, nsorts + 1,
+            plast)
