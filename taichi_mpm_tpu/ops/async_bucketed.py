@@ -127,11 +127,6 @@ def _bucket_ranges(pm, slot_sel, budget: int, capacity: int):
     return idx, valid, n_sel
 
 
-def _gather_flat(st, nch, idx):
-    """Mini-state gather: lanes idx of each channel row -> flat
-    (nch * B,) vector."""
-    pw = st.shape[0] // nch
-    return jnp.concatenate([row(st, r, pw)[idx] for r in range(nch)])
 
 
 def _scatter_rows(st, nch, idx, mini, commit):
