@@ -32,7 +32,9 @@ wheel = sim.add_particles(
 )
 sim.add_articulation("rotation", hub, wheel)
 
-src = texture.ring((0.28, 0.85), inner=0.0, outer=0.05, axis=2).bound(
+# the stream must actually strike the paddles: paddle reach is
+# |x - 0.5| <= 0.15, so pour at x = 0.40 (left of the axle -> torque)
+src = texture.ring((0.40, 0.85), inner=0.0, outer=0.04, axis=2).bound(
     2, 0.47, 0.53
 ) * 8
 
