@@ -208,6 +208,27 @@ def _migrate_axis(p: Particles, s, mesh_axis: str, cfg: SimConfig,
     return merged, demand.astype(jnp.int32)
 
 
+def shifted_colliders_xy(colliders, xoff, yoff):
+    """Colliders evaluated at x + (xoff, yoff, 0) — the 2-axis version
+    of spatial_blocked.shifted_colliders (grid ops run in the shard's
+    local pencil coordinates)."""
+    off = jnp.stack([xoff, yoff, jnp.zeros_like(xoff)])
+    return tuple(
+        dataclasses.replace(
+            c,
+            sdf=(lambda c_: lambda x, tt: c_.sdf(
+                x + off.astype(x.dtype), tt))(c),
+            normal_fn=(lambda c_: (
+                (lambda x, tt: c_.normal_fn(x + off.astype(x.dtype), tt))
+                if c_.normal_fn is not None else None))(c),
+            velocity=(lambda c_: (
+                (lambda x, tt: c_.velocity(x + off.astype(x.dtype), tt))
+                if c_.velocity is not None else None))(c),
+        )
+        for c in colliders
+    )
+
+
 def build_spatial_mesh2d_frame(
     cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
     K: int = 1024, budget: int = 256, interpret: bool = False,
@@ -252,35 +273,7 @@ def build_spatial_mesh2d_frame(
             rec = _zero_edge_ghosts(rec, pm, lcfg, sx, Sx, 0)
             rec = _zero_edge_ghosts(rec, pm, lcfg, sy, Sy, 1)
 
-            from taichi_mpm_tpu.parallel.spatial_blocked import (
-                shifted_colliders,
-            )
-
-            # colliders shifted in BOTH axes
-            xoff = offx * cfg.dx
-            yoff = offy * cfg.dx
-            sc = tuple(
-                dataclasses.replace(
-                    c,
-                    sdf=(lambda c_: lambda x, tt: c_.sdf(
-                        x + jnp.stack(
-                            [xoff, yoff, jnp.zeros_like(xoff)]
-                        ).astype(x.dtype), tt))(c),
-                    normal_fn=(lambda c_: (
-                        (lambda x, tt: c_.normal_fn(
-                            x + jnp.stack(
-                                [xoff, yoff, jnp.zeros_like(xoff)]
-                            ).astype(x.dtype), tt))
-                        if c_.normal_fn is not None else None))(c),
-                    velocity=(lambda c_: (
-                        (lambda x, tt: c_.velocity(
-                            x + jnp.stack(
-                                [xoff, yoff, jnp.zeros_like(xoff)]
-                            ).astype(x.dtype), tt))
-                        if c_.velocity is not None else None))(c),
-                )
-                for c in colliders
-            )
+            sc = shifted_colliders_xy(colliders, offx * cfg.dx, offy * cfg.dx)
             vrec = grid_update_flat(rec, pm["ids"], lcfg, sc, t, cfg.base_dt)
             gtiles = blocked.windows_mm(vrec, pm["nbr"])
 
@@ -338,6 +331,128 @@ def build_spatial_mesh2d_frame(
         mesh=mesh,
         in_specs=(p_specs, P()),
         out_specs=(p_specs, P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def build_spatial_cpic_mesh2d_frame(
+    cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    K: int = 1024, budget: int = 256, near_budget: int = 4096,
+    b1: int = 0, Kr: int = 0, interpret: bool = False,
+):
+    """Jitted shard_map CPIC frame on the 2-D (x, y) pencil mesh — the
+    coupled transfers of parallel/spatial_blocked.build_spatial_cpic_frame
+    generalized to pencils. Rigid bodies stay REPLICATED; the per-shard
+    impulse partial sums psum over BOTH mesh axes (the reference's
+    apply_tmp_impulse reduction, /root/reference/src/transfer.cpp:195-197,
+    578-580); the boundary-record exchange and the re-sort migration run
+    as two sequential single-axis rounds (corners compose — module
+    docstring above).
+
+    Returns fn(p, bodies, t) -> (p, bodies, t, needed, n_act, n_near,
+    n_coarse, n_r); the driver grows budget / K / near budgets and
+    re-runs the frame on overflow, as in the 1-D path."""
+    from taichi_mpm_tpu.rigid.cpic_blocked import (
+        cpic_blocked_substep_presorted,
+    )
+
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    shards = (Sx, Sy)
+    lcfg = local_config(cfg, shards)
+    Wx = pencil_cells(cfg, shards, 0)
+    Wy = pencil_cells(cfg, shards, 1)
+    Wbx, Wby = Wx // 4, Wy // 4
+
+    def local_frame(p: Particles, bodies, t):
+        sx = jax.lax.axis_index("x")
+        sy = jax.lax.axis_index("y")
+        offx, offy = shard_offsets_cells(sx, sy, cfg, shards)
+        world_off = jnp.stack(
+            [offx * cfg.dx, offy * cfg.dx, jnp.zeros_like(offx)]
+        )
+        gcolls = shifted_colliders_xy(
+            scene.colliders, offx * cfg.dx, offy * cfg.dx
+        )
+
+        # exchange() needs the substep's CURRENT page map; it is threaded
+        # through a one-slot cell written at the top of each (traced-once)
+        # scan body before the substep runs.
+        pm_cell = [None]
+
+        def exchange(rec):
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "x", Sx, Wbx, 0)
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "y", Sy, Wby, 1)
+            rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sx, Sx, 0)
+            rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sy, Sy, 1)
+            return rec
+
+        def resort(p):
+            p, need_x = _migrate_axis(p, sx, "x", cfg, 0, Sx, Wx, budget)
+            p, need_y = _migrate_axis(p, sy, "y", cfg, 1, Sy, Wy, budget)
+            keys = _local_keys(p, offx, offy, cfg, lcfg)
+            p, keys, _ = sort_particles_by_keys(p, keys)
+            pm = build_page_map_full(keys, lcfg, K)
+            return p, keys, pm, jnp.maximum(need_x, need_y)
+
+        p, keys, pm, needed0 = resort(p)
+
+        def body(carry, _):
+            p, keys, pm, bodies, drift, t, need_max, na, nn, nc, nr = carry
+            pm_cell[0] = pm
+            origin_g = pm["origin"] + jnp.stack(
+                [offx, offy, jnp.zeros_like(offx)], -1
+            )
+            (p, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
+                cpic_blocked_substep_presorted(
+                    p, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
+                    near_budget, b1, Kr, interpret=interpret, lcfg=lcfg,
+                    world_off=world_off, axis=("x", "y"), origin=origin_g,
+                    grid_colliders=gcolls, exchange_fn=exchange,
+                )
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+
+            def do_resort(p):
+                return resort(jax.lax.optimization_barrier(p))
+
+            def keep(p):
+                return p, keys, pm, jnp.int32(0)
+
+            p, keys, pm, needed = jax.lax.cond(need, do_resort, keep, p)
+            drift = jnp.where(need, 0.0, drift)
+            return (p, keys, pm, bodies, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"]),
+                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                    jnp.maximum(nr, n_r)), None
+
+        carry = (p, keys, pm, bodies, jnp.float32(0.0), t, needed0,
+                 pm["n_act"], jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        (p, keys, pm, bodies, _, t, need_max, na, nn, nc, nr), _ = (
+            jax.lax.scan(body, carry, None, length=n_substeps)
+        )
+
+        def pmax2(v):
+            return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
+
+        return (p, bodies, t, pmax2(need_max), pmax2(na), pmax2(nn),
+                pmax2(nc), pmax2(nr))
+
+    pspec = P(("x", "y"))
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P()),  # bodies replicated (prefix spec)
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -31,6 +31,67 @@ def _scene(res=32, n=700, vel=(1.5, 1.0, 0.0)):
     return sim, p
 
 
+def test_cpic_mesh2d_matches_single_chip():
+    """Coupled CPIC transfers on the 2-D pencil mesh (replicated rigids,
+    psum over both axes, two-round exchange/migration) must match the
+    single-chip CPIC blocked frame."""
+    from taichi_mpm_tpu.parallel.spatial_mesh2d import (
+        build_spatial_cpic_mesh2d_frame,
+    )
+    from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_frame
+    from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+    rng = np.random.default_rng(3)
+    sim = MPM(res=(32, 32, 32), base_delta_t=2e-4, gravity=(0, -10.0, 0),
+              penalty=1e3)
+    pos = rng.uniform(0.25, 0.75, size=(400, 3)).astype(np.float32)
+    sim.add_particles("jelly", pos=pos, vel=(1.0, -0.5, 0), E=1e4, nu=0.3,
+                      density=1000)
+    sim.add_particles(
+        "rigid", mesh=plate_mesh(half_u=0.22, half_v=0.22, axis=1),
+        scripted_position=lambda t: (0.5, 0.4, 0.5),
+        scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+        codimensional=True, friction=0.2,
+    )
+    sim._finalize()
+    cfg, scene, b0 = sim.cfg, sim.rigid_scene, sim.bodies
+    n_sub = 6
+
+    p1, b1, t1, n_act, n_near, n_coarse, _, _, _ = cpic_blocked_frame(
+        sim.particles, b0, jnp.float32(0.0), cfg, scene, cfg.base_dt,
+        n_sub, K=512, near_budget=512, b1=1024, interpret=True,
+    )
+    assert int(n_near) <= 512 and int(n_coarse) <= 1024
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    ps = shard_pencils(sim.particles, cfg, mesh, slack=3.0)
+    frame = build_spatial_cpic_mesh2d_frame(
+        cfg, scene, n_sub, mesh, K=512, budget=64, near_budget=512,
+        b1=1024, interpret=True,
+    )
+    ps2, b2, t2, needed, na, nn, nc, _ = frame(ps, b0, jnp.float32(0.0))
+    assert int(needed) <= 64
+    assert int(nn) <= 512 and int(nc) <= 1024
+
+    a1 = np.asarray(p1.active)
+    a2 = np.asarray(ps2.active)
+    assert a1.sum() == a2.sum()
+    x1 = np.asarray(p1.x)[a1]
+    x2 = np.asarray(ps2.x)[a2]
+    o1, o2 = np.lexsort(x1.T), np.lexsort(x2.T)
+    np.testing.assert_allclose(x1[o1], x2[o2], atol=1e-5)
+    v1 = np.asarray(p1.v)[a1][o1]
+    v2 = np.asarray(ps2.v)[a2][o2]
+    np.testing.assert_allclose(v1, v2, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(b1.vel), np.asarray(b2.vel), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b1.omega), np.asarray(b2.omega), atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("shape", [(2, 2), (4, 2)])
 def test_mesh2d_matches_single_chip(shape):
     sim, p = _scene()
