@@ -16,6 +16,7 @@ lives in taichi_mpm_tpu.rigid):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -104,6 +105,10 @@ class MPM:
         self.frame_dt = frame_dt
         self.capacity = capacity
         self.optimized = optimized
+        # fully-fused kernels (prep inside P2G, finish inside G2P,
+        # ops/fused_pallas) on the plain blocked path; TMT_FUSED=0
+        # falls back to the unfused packed pipeline
+        self.fused = os.environ.get("TMT_FUSED", "1") != "0"
         self.colliders: List = []
         self._pending: List[dict] = []
         self.particles: Optional[Particles] = None
@@ -528,9 +533,12 @@ class MPM:
         def pack_fn(p):
             return packed.pack_carry(p, cfg, cap)
 
+        fused = self.fused
+
         def fn(carry, t):
             carry, t, nmax, _, plast = packed.packed_frame_carry(
-                carry, t, cfg, colliders, cfg.base_dt, n_substeps, cap
+                carry, t, cfg, colliders, cfg.base_dt, n_substeps, cap,
+                fused=fused,
             )
             p = packed.unpack_particles(carry[0], cap_p)
             return carry, p, t, nmax, plast

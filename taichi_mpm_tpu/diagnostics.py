@@ -97,7 +97,7 @@ def device_memory_report(device=None) -> Optional[dict]:
 
 
 def stage_report(sim, substeps: int = 20, repeats: int = 3,
-                 interpret: bool = None) -> dict:
+                 interpret: bool = None, only=None) -> dict:
     """Per-stage substep timing on the CURRENT scene — the analog of
     the reference's hierarchical TC_PROFILE tree around every substep
     stage (mpm.cpp:464-571). Each stage is timed as a jitted xN loop
@@ -131,8 +131,7 @@ def stage_report(sim, substeps: int = 20, repeats: int = 3,
     g2p_blocked = functools.partial(g2p_pallas.g2p_blocked,
                                     interpret=interpret)
     st = packed.pack_particles(sim.particles)
-    st, keys = packed.sort_packed(st, cfg)
-    pm = packed.build_page_map_packed(keys, cfg, cap)
+    st, keys, pm = packed.sort_and_map(st, cfg, cap)
     dt = cfg.base_dt
     pdata, (px, py, pz) = packed.prep_packed(st, keys, cfg, dt)
     tiles = p2g_blocked_batched(pm["s_arr"], pm["e_arr"], pdata)
@@ -189,8 +188,43 @@ def stage_report(sim, substeps: int = 20, repeats: int = 3,
             st,
         ),
     }
+    if only is not None:
+        stages = {k: v for k, v in stages.items() if k in only}
     report = {name: loop(f, arg) for name, (f, arg) in stages.items()}
     report["total_stages"] = sum(report.values())
+    if only is not None and not ({"p2g_fused", "g2p_fused"} & set(only)):
+        return report
+
+    # fused kernels (prep-in-P2G / finish-in-G2P, ops/fused_pallas).
+    # g2p_fused is timed as a self-threading chain (state -> state) so
+    # the in-place aliasing behaves as in the real substep.
+    from taichi_mpm_tpu.ops import fused_pallas
+
+    st2d = st.reshape(packed.NCH, pw)
+    report["p2g_fused"] = loop(
+        lambda a: fused_pallas.p2g_fused(
+            pm["s_arr"], pm["e_arr"], a, dt, cfg, interpret=interpret
+        )[0, 0, 0],
+        st2d,
+    )
+
+    @jax.jit
+    def g2pf_chain(a):
+        def body(c, _):
+            c, vm, _ = fused_pallas.g2p_fused(
+                keys2d, c, gtiles, nbd, dt, cfg, interpret=interpret
+            )
+            return c, vm[0, 0]
+        c, vms = jax.lax.scan(body, a, None, length=substeps)
+        return jnp.sum(vms) + c[0, 0]
+
+    float(g2pf_chain(st2d))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(g2pf_chain(st2d))
+        best = min(best, time.perf_counter() - t0)
+    report["g2p_fused"] = best / substeps * 1e3
     return report
 
 

@@ -45,23 +45,20 @@ GTLANES = 128  # padded tile lanes (49 live)
 NOUTP = 16  # output rows per particle: v(3) B(9) pad(4)
 
 
-def _g2p_kernel(
-    dims_ref, first_ref, keys_ref, posg_ref, gt_first, gt_hbm, out_ref,
-    tbuf, sem_t,
-):
-    K = dims_ref[0]  # sentinel slot id = number of active slots
+def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
+    """The in-kernel window accumulation shared by the plain and fused
+    G2P kernels: walk the runs of equal slot id in this window and
+    matmul-accumulate v/B. Returns (16, CHUNK) rows [v(3) B(9) 0(4)].
 
-    kb2 = keys_ref[:]  # (1, CHUNK) int32 active-slot ids, sorted; K = inactive
-    pos = posg_ref[:]  # (8, CHUNK) rows: block-local grid-unit x, y, z
-
+    Args are in-kernel values/refs: kb2 (1, CHUNK) sorted slot ids
+    (>= K marks inactive), px/py/pz (1, CHUNK) block-local grid-unit
+    positions, gt_first the (GTROWS, GTLANES) pipelined first-run tile,
+    gt_hbm the full (K, GTROWS, GTLANES) tile ref for extra runs."""
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     lane49 = jax.lax.broadcasted_iota(jnp.int32, (1, NJK), 1)
     jn49 = (lane49 // TILE - 1).astype(jnp.float32)
     kn49 = (lane49 % TILE - 1).astype(jnp.float32)
 
-    px = pos[0:1, :]
-    py = pos[1:2, :]
-    pz = pos[2:3, :]
     wx = _axis_weights_T(px)  # (8, CHUNK)
     wyz_base = _wyzT(py, pz)  # (49, CHUNK)
     irow = (
@@ -132,7 +129,20 @@ def _g2p_kernel(
         return r_next, acc
 
     _, acc = jax.lax.while_loop(cond, body, (r1, acc))
-    out_ref[:] = acc
+    return acc
+
+
+def _g2p_kernel(
+    dims_ref, first_ref, keys_ref, posg_ref, gt_first, gt_hbm, out_ref,
+    tbuf, sem_t,
+):
+    K = dims_ref[0]  # sentinel slot id = number of active slots
+    kb2 = keys_ref[:]  # (1, CHUNK) int32 active-slot ids, sorted; K = inactive
+    pos = posg_ref[:]  # (8, CHUNK) rows: block-local grid-unit x, y, z
+    out_ref[:] = window_accum(
+        K, kb2, pos[0:1, :], pos[1:2, :], pos[2:3, :], gt_first, gt_hbm,
+        tbuf, sem_t,
+    )
 
 
 def keys_are_sorted(keys) -> jnp.ndarray:

@@ -116,6 +116,26 @@ def _chunk_contrib(pd, s, e, gstart):
     )  # (112, 49)
 
 
+def tile_correct(acc):
+    """Node-coordinate correction: (NROW, NJK) accumulated matmul
+    channels -> (NOUT, NJK) halo tile [(i, c), (j, k)]."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (3, NJK), 1)
+    ny = (lane // TILE - 1).astype(jnp.float32)
+    nz = (lane % TILE - 1).astype(jnp.float32)
+    pieces = []
+    for i in range(TILE):
+        o = i * NVAL
+        nx = float(i - 1)
+        mom = (
+            acc[o : o + 3]
+            - nx * acc[o + 4 : o + 7]
+            - ny * acc[o + 8 : o + 11]
+            - nz * acc[o + 12 : o + 15]
+        )
+        pieces.append(jnp.concatenate([mom, acc[o + 3 : o + 4]], 0))
+    return jnp.concatenate(pieces, 0)  # (28, 49)
+
+
 def _p2g_kernel(s_ref, e_ref, pdata_first, pdata_hbm, out_ref, pbuf, sem_p):
     b = pl.program_id(0)
     s = s_ref[b]
@@ -151,23 +171,7 @@ def _p2g_kernel(s_ref, e_ref, pdata_first, pdata_hbm, out_ref, pbuf, sem_p):
         return acc + _chunk_contrib(pbuf[slot], s, e, dstart + ci * CHUNK)
 
     acc = jax.lax.fori_loop(1, nch, body, acc)
-
-    # node-coordinate correction -> (28, 49) tile [i, c, (j,k)]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (3, NJK), 1)
-    ny = (lane // TILE - 1).astype(jnp.float32)
-    nz = (lane % TILE - 1).astype(jnp.float32)
-    pieces = []
-    for i in range(TILE):
-        o = i * NVAL
-        nx = float(i - 1)
-        mom = (
-            acc[o : o + 3]
-            - nx * acc[o + 4 : o + 7]
-            - ny * acc[o + 8 : o + 11]
-            - nz * acc[o + 12 : o + 15]
-        )
-        pieces.append(jnp.concatenate([mom, acc[o + 3 : o + 4]], 0))
-    out_ref[0] = jnp.concatenate(pieces, 0)  # (28, 49)
+    out_ref[0] = tile_correct(acc)
 
 
 BATCH = 4  # blocks per program in the batched kernel
@@ -232,23 +236,8 @@ def _p2g_kernel_batched(
 
     jax.lax.fori_loop(1, nch, body, 0)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (3, NJK), 1)
-    ny = (lane // TILE - 1).astype(jnp.float32)
-    nz = (lane % TILE - 1).astype(jnp.float32)
     for b in range(BATCH):
-        acc = acc_ref[b]
-        pieces = []
-        for i in range(TILE):
-            o = i * NVAL
-            nx = float(i - 1)
-            mom = (
-                acc[o : o + 3]
-                - nx * acc[o + 4 : o + 7]
-                - ny * acc[o + 8 : o + 11]
-                - nz * acc[o + 12 : o + 15]
-            )
-            pieces.append(jnp.concatenate([mom, acc[o + 3 : o + 4]], 0))
-        out_ref[b] = jnp.concatenate(pieces, 0)
+        out_ref[b] = tile_correct(acc_ref[b])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -50,14 +50,25 @@ from taichi_mpm_tpu.ops.p2g_pallas import (
     p2g_blocked_batched,
 )
 from taichi_mpm_tpu.ops.substep import grid_update_flat
-
-NCH = 48  # rows (43 live + pad)
-
-# row indices
-RX, RV, RF, RC = 0, 3, 6, 15
-RAUX, RMASS, RVOL, RMAT = 24, 25, 26, 27
-RPAR, RACT = 28, 36
-RSTATES, RBDIST, RBN, RNEARB = 37, 38, 39, 42
+from taichi_mpm_tpu.ops.rows import (  # noqa: F401  (layout lives in rows.py)
+    NCH,
+    RACT,
+    RAUX,
+    RBDIST,
+    RBN,
+    RC,
+    RF,
+    RMASS,
+    RMAT,
+    RMATF,
+    RNEARB,
+    RORG,
+    RPAR,
+    RSTATES,
+    RV,
+    RVOL,
+    RX,
+)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -93,7 +104,8 @@ def pack_particles(p: Particles) -> jnp.ndarray:
     rows += [p.active.astype(jnp.float32), bits(p.states), p.bdist]
     rows += [p.bnormal[:, k] for k in range(3)]
     rows += [p.near_b.astype(jnp.float32)]
-    rows += [jnp.zeros((P,), jnp.float32)] * (NCH - len(rows))
+    rows += [jnp.zeros((P,), jnp.float32)] * (RMATF - len(rows))
+    rows += [p.mat.astype(jnp.float32)]  # row 47: material id as value
     return jnp.concatenate([jnp.pad(r, (0, pw - P)) for r in rows])
 
 
@@ -174,6 +186,28 @@ def sort_packed(st, cfg: SimConfig):
     g = jax.lax.optimization_barrier(stT[order])
     st_sorted = g[:, :NCH].T.reshape(-1)
     return st_sorted, keys_sorted
+
+
+def annotate_origins(st, keys, cfg: SimConfig):
+    """Write rows RORG..RORG+2 = the sort-time block origin (grid
+    units) of every lane. Called at every (re-)sort; static between
+    sorts, which is exactly the lazy-sort contract (particles stay
+    within half a cell of this block). The fused Pallas kernels read
+    these rows to reconstruct block-local positions in-kernel."""
+    pw = st.shape[0] // NCH
+    ox, oy, oz = _origin_rows(keys, cfg)
+    return jax.lax.dynamic_update_slice(
+        st, jnp.concatenate([ox, oy, oz]), (RORG * pw,)
+    )
+
+
+def sort_and_map(st, cfg: SimConfig, K: int):
+    """sort + origin annotation + page map: the one true (re)sort entry
+    for the packed paths."""
+    st, keys = sort_packed(st, cfg)
+    st = annotate_origins(st, keys, cfg)
+    pm = build_page_map_packed(keys, cfg, K)
+    return st, keys, pm
 
 
 def build_page_map_packed(keys, cfg: SimConfig, K: int):
@@ -316,7 +350,8 @@ def finish_packed(st, pout, cfg: SimConfig, dt, zero_C=None):
     rows += [row(st, RSTATES, pw), row(st, RBDIST, pw)]
     rows += [row(st, RBN + i, pw) for i in range(3)]
     rows += [row(st, RNEARB, pw)]
-    rows += [jnp.zeros((pw,), jnp.float32)] * (NCH - 43)
+    # annotation rows (sort-time origins, matf) pass through unchanged
+    rows += [row(st, r, pw) for r in range(43, NCH)]
     st_new = jnp.concatenate(rows)
     vmax = jnp.max(
         jnp.stack([jnp.max(jnp.where(act_new, jnp.abs(v), 0.0)) for v in v_new])
@@ -365,12 +400,47 @@ def particle_collision_packed(st, cfg: SimConfig, colliders, t):
 # -- the packed substep / frame --------------------------------------------
 
 
+def fused_substep_presorted(
+    st, pm, t, cfg: SimConfig, colliders, dt, interpret: bool = False
+):
+    """One substep with the FULLY-FUSED kernels (ops/fused_pallas):
+    prep runs inside the P2G kernel, finish inside the G2P kernel, and
+    each state chunk crosses HBM once per kernel. Requires the carry to
+    be sorted via sort_and_map (origin rows annotated)."""
+    from taichi_mpm_tpu.ops import fused_pallas
+
+    K = pm["ids"].shape[0]
+    pw = st.shape[0] // NCH
+    st2d = st.reshape(NCH, pw)
+    tiles = fused_pallas.p2g_fused(
+        pm["s_arr"], pm["e_arr"], st2d, dt, cfg, interpret=interpret
+    )
+    rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+    vrec = grid_update_flat(rec, pm["ids"], cfg, colliders, t, dt)
+    gtiles = blocked.windows_mm(vrec, pm["nbr"])
+    st2d, vmaxw, plastw = fused_pallas.g2p_fused(
+        pm["slot_keys"][None, :], st2d, gtiles,
+        jnp.asarray([K], jnp.int32), dt, cfg, interpret=interpret,
+    )
+    st = st2d.reshape(-1)
+    if cfg.particle_collision:
+        st = particle_collision_packed(st, cfg, colliders, t)
+    if cfg.clean_boundary:
+        st = clean_boundary_packed(st, cfg)
+    return (st, t + dt), pm["n_act"], jnp.max(vmaxw), jnp.sum(plastw)
+
+
 def packed_substep_presorted(
-    st, keys, pm, t, cfg: SimConfig, colliders, dt, interpret: bool = False
+    st, keys, pm, t, cfg: SimConfig, colliders, dt, interpret: bool = False,
+    fused: bool = False,
 ):
     """One substep against a frozen sort/page map (the packed twin of
     ops.substep.substep_presorted; exact while every particle is within
     half a cell of its sort-time block)."""
+    if fused:
+        return fused_substep_presorted(
+            st, pm, t, cfg, colliders, dt, interpret=interpret
+        )
     K = pm["ids"].shape[0]
     pw = st.shape[0] // NCH
 
@@ -423,7 +493,7 @@ def dt_limit_packed(st, cfg: SimConfig, strength_dt_mul=1.0, cfl_dt_mul=1.0):
 def packed_adaptive_frame(
     p: Particles, t, cfg: SimConfig, colliders, frame_dt, unit_dt, max_dt,
     K: int, strength_dt_mul=1.0, cfl_dt_mul=1.0, max_substeps: int = 100000,
-    interpret: bool = False,
+    interpret: bool = False, fused: bool = False,
 ):
     """Adaptive-dt frame ON THE PACKED PALLAS PATH (VERDICT r1 item 3:
     the round-1 AsyncMPM ran the oracle substep only). Data-dependent
@@ -436,8 +506,7 @@ def packed_adaptive_frame(
     st0 = pack_particles(p)
 
     def resort(st):
-        st, keys = sort_packed(st, cfg)
-        return st, keys, build_page_map_packed(keys, cfg, K)
+        return sort_and_map(st, cfg, K)
 
     st, keys, pm = resort(st0)
     t_end = t + frame_dt
@@ -452,7 +521,8 @@ def packed_adaptive_frame(
         dt = snap_pot(dt, unit_dt, max_dt)
         dt = jnp.minimum(dt, t_end - tt)
         (st, tt), n_act, vmax, _ = packed_substep_presorted(
-            st, keys, pm, tt, cfg, colliders, dt, interpret=interpret
+            st, keys, pm, tt, cfg, colliders, dt, interpret=interpret,
+            fused=fused,
         )
         drift = drift + dt * cfg.inv_dx * vmax
         need = drift >= 0.45
@@ -474,7 +544,7 @@ def packed_adaptive_frame(
 
 def packed_frame_carry(
     carry, t, cfg: SimConfig, colliders, dt, n_substeps: int, K: int,
-    interpret: bool = False,
+    interpret: bool = False, fused: bool = False,
 ):
     """A frame over a PERSISTENT packed carry (st, keys, pm, drift):
     no frame-edge pack/sort — the lazy re-sort discipline continues
@@ -485,13 +555,13 @@ def packed_frame_carry(
     st, keys, pm, drift = carry
 
     def resort(st):
-        st, keys = sort_packed(st, cfg)
-        return st, keys, build_page_map_packed(keys, cfg, K)
+        return sort_and_map(st, cfg, K)
 
     def body(carry, _):
         st, keys, pm, drift, t, nmax, nsorts, plast = carry
         (st, t), n_act, vmax, dplast = packed_substep_presorted(
-            st, keys, pm, t, cfg, colliders, dt, interpret=interpret
+            st, keys, pm, t, cfg, colliders, dt, interpret=interpret,
+            fused=fused,
         )
         drift = drift + dt * cfg.inv_dx * vmax
         need = drift >= 0.45
@@ -519,14 +589,13 @@ def packed_frame_carry(
 def pack_carry(p: Particles, cfg: SimConfig, K: int):
     """Build the persistent packed carry from a Particles pytree."""
     st = pack_particles(p)
-    st, keys = sort_packed(st, cfg)
-    pm = build_page_map_packed(keys, cfg, K)
+    st, keys, pm = sort_and_map(st, cfg, K)
     return (st, keys, pm, jnp.float32(0.0))
 
 
 def packed_frame(
     p: Particles, t, cfg: SimConfig, colliders, dt, n_substeps: int, K: int,
-    interpret: bool = False,
+    interpret: bool = False, fused: bool = False,
 ):
     """A frame on the packed path with drift-triggered lazy re-sorting.
     Takes/returns a Particles pytree (pack/sort/unpack at the frame
@@ -534,6 +603,7 @@ def packed_frame(
     cap = p.capacity
     carry = pack_carry(p, cfg, K)
     carry, t, nmax, nsorts, plast = packed_frame_carry(
-        carry, t, cfg, colliders, dt, n_substeps, K, interpret=interpret
+        carry, t, cfg, colliders, dt, n_substeps, K, interpret=interpret,
+        fused=fused,
     )
     return unpack_particles(carry[0], cap), t, nmax, nsorts + 1, plast
