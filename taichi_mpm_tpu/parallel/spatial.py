@@ -204,12 +204,18 @@ def _take(tree, idx):
 
 
 def migrate(p: Particles, s, axis: str, cfg: SimConfig, n_shards: int, budget: int,
-            count_only_overflow: bool = True):
+            count_only_overflow: bool = True, dest=None):
     """Move particles whose cell column left the slab to the neighbor.
 
     Fixed-size buffers of `budget` particles each direction; overflow
     beyond the budget is deactivated and counted. Buffers ride
     ppermute; inactive buffer slots are zero and merge as no-ops.
+
+    `dest` (per-particle target shard, int32) overrides the uniform
+    column->shard map — the load-balanced slab path passes ownership
+    derived from its dynamic boundaries. Only +-1-shard moves are
+    representable (one ppermute round); callers must bound boundary
+    shifts accordingly (spatial_blocked.DMAX <= MINW).
 
     Returns (merged, n): with count_only_overflow=True (legacy), n =
     particles dropped; with False, n = the max per-direction migrant
@@ -217,9 +223,10 @@ def migrate(p: Particles, s, axis: str, cfg: SimConfig, n_shards: int, budget: i
     re-run the frame so nothing is ever lost, VERDICT r1 #7).
     """
     budget = min(budget, p.capacity // 2)
-    Wc = slab_cells(cfg, n_shards)
-    cx = jnp.floor(p.x[:, 0] * cfg.inv_dx).astype(jnp.int32)
-    dest = jnp.clip(cx // Wc, 0, n_shards - 1)
+    if dest is None:
+        Wc = slab_cells(cfg, n_shards)
+        cx = jnp.floor(p.x[:, 0] * cfg.inv_dx).astype(jnp.int32)
+        dest = jnp.clip(cx // Wc, 0, n_shards - 1)
     go_left = p.active & (dest < s)
     go_right = p.active & (dest > s)
 

@@ -184,15 +184,21 @@ def shifted_colliders(colliders, xoff):
 def spatial_blocked_substep_presorted(
     p: Particles, keys, pm, t, cfg: SimConfig, lcfg: SimConfig, colliders,
     dt, axis: str, s, n_shards: int, interpret: bool = False,
+    off_cells=None, wcols=None,
 ):
     """One substep against a frozen local sort/page map. Positions are
     GLOBAL; pm['origin'] is local, so prep gets origin + shard offset
-    (block-local coordinates are then identical to single-chip)."""
+    (block-local coordinates are then identical to single-chip).
+
+    off_cells / wcols override the uniform-slab offset and owned width
+    (in block columns) — the load-balanced path passes traced values
+    derived from its dynamic boundaries."""
     K = pm["ids"].shape[0]
-    Wb = slab_cells(cfg, n_shards) // 4
+    Wb = slab_cells(cfg, n_shards) // 4 if wcols is None else wcols
     n = p.capacity
     pw = _round_up(n, CHUNK)
-    off_cells = shard_offset_cells(s, cfg, n_shards)
+    if off_cells is None:
+        off_cells = shard_offset_cells(s, cfg, n_shards)
     origin_g = pm["origin"] + jnp.stack(
         [off_cells, jnp.zeros_like(off_cells), jnp.zeros_like(off_cells)], -1
     )
@@ -411,6 +417,284 @@ def build_spatial_cpic_frame(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Load-balanced slabs: dynamic boundaries in block-column units
+# ---------------------------------------------------------------------------
+#
+# The reference's TBB scheduler load-balances blocks across threads by
+# work stealing (mpm.cpp:919-1014 block dispatch); at chip level the
+# TPU-native analog is moving the slab BOUNDARIES so each shard owns a
+# roughly equal particle count, while every shard keeps a static-shape
+# local window wide enough for any allowed boundary position:
+#
+#   * bounds (S+1,) int32, replicated: shard s owns global block
+#     columns [bounds[s], bounds[s+1]). bounds[0]=0, bounds[S]=CB fixed;
+#     interior boundaries stay within +-r columns of the uniform split
+#     (r sized so neighbor ranges cannot collide) and move at most DMAX
+#     columns per rebalance, which keeps migration one-hop (a particle
+#     can only change owner when ONE boundary sweeps past it);
+#   * rebalancing happens at the lazy re-sorts, from a psum'd global
+#     per-column particle histogram built off the page map (K-scaled,
+#     never P-scaled) at the PREVIOUS re-sort — one resort of lag, which
+#     a balancing heuristic tolerates by construction;
+#   * everything downstream is the uniform-slab machinery with traced
+#     offset/width (the record exchange's overlap columns are the same
+#     two global columns on both sides of each boundary by definition).
+
+MINW = 2  # min owned block columns per shard
+DMAX = 2  # max boundary move per rebalance; <= MINW keeps migration 1-hop
+
+
+def balanced_params(cfg: SimConfig, n_shards: int, r: int):
+    """(CB, uniform bounds, static local config) for max-shift r."""
+    assert cfg.res[0] % 4 == 0
+    CB = cfg.res[0] // 4
+    u = np.round(np.linspace(0.0, CB, n_shards + 1)).astype(np.int32)
+    gaps = u[1:] - u[:-1]
+    r_max = (int(gaps.min()) - MINW) // 2
+    assert 0 < r <= r_max, (
+        f"balance radius r={r} must be in [1, {r_max}] for "
+        f"res[0]={cfg.res[0]}, n_shards={n_shards}"
+    )
+    maxw = int(gaps.max()) + 2 * r
+    lcfg = dataclasses.replace(cfg, res=((maxw + 2) * 4,) + cfg.res[1:])
+    return CB, u, lcfg
+
+
+def rebalance_bounds(hist, bounds, uniform, r: int, n_shards: int):
+    """New boundaries from the global column histogram: ideal equal-
+    count splits, clamped to +-DMAX per step and +-r of uniform."""
+    c = jnp.cumsum(hist.astype(jnp.float32))
+    total = c[-1]
+    q = jnp.arange(1, n_shards, dtype=jnp.float32) * total / n_shards
+    ideal = jnp.searchsorted(c, q, side="left").astype(jnp.int32) + 1
+    old = bounds[1:-1]
+    new = jnp.clip(ideal, old - DMAX, old + DMAX)
+    new = jnp.clip(new, uniform[1:-1] - r, uniform[1:-1] + r)
+    new = jnp.where(total > 0, new, old)
+    return jnp.concatenate([bounds[:1], new, bounds[-1:]])
+
+
+def col_hist_from_pm(pm, b0, lcfg: SimConfig, CB: int, axis: str):
+    """Global per-block-column particle counts from the page map
+    (K-scaled: per-slot counts scattered onto CB columns, then psum)."""
+    nbp = blocked.num_blocks_padded(lcfg)
+    per = nbp[1] * nbp[2]
+    counts = (pm["e_arr"] - pm["s_arr"]).astype(jnp.int32)
+    gcol = pm["ids"] // per - 1 + b0
+    hist = jnp.zeros((CB,), jnp.int32).at[jnp.clip(gcol, 0, CB - 1)].add(
+        counts
+    )
+    return jax.lax.psum(hist, axis)
+
+
+def _dest_from_bounds(p: Particles, bounds, cfg: SimConfig, n_shards: int):
+    cx = jnp.clip(
+        jnp.floor(p.x[:, 0] * cfg.inv_dx).astype(jnp.int32),
+        0, cfg.res[0] - 1,
+    )
+    return jnp.clip(
+        jnp.searchsorted(bounds, cx // 4, side="right").astype(jnp.int32) - 1,
+        0, n_shards - 1,
+    )
+
+
+def balanced_bounds_host(p: Particles, cfg: SimConfig, n_shards: int, r: int):
+    """Host-side initial boundaries: the same equal-count split the
+    device rebalance computes, without the DMAX rate limit."""
+    CB, u, _ = balanced_params(cfg, n_shards, r)
+    x = np.asarray(p.x)
+    act = np.asarray(p.active)
+    col = np.clip((x[act, 0] / cfg.dx).astype(np.int64), 0, cfg.res[0] - 1) // 4
+    hist = np.bincount(col, minlength=CB).astype(np.float64)
+    c = np.cumsum(hist)
+    q = np.arange(1, n_shards) * c[-1] / n_shards
+    ideal = np.searchsorted(c, q, side="left").astype(np.int32) + 1
+    new = np.clip(ideal, u[1:-1] - r, u[1:-1] + r)
+    if c[-1] <= 0:
+        new = u[1:-1]
+    return np.concatenate([u[:1], new, u[-1:]]).astype(np.int32)
+
+
+def shard_spatially_bounds(p: Particles, cfg: SimConfig, mesh: Mesh,
+                           bounds, axis: str = "x", slack: float = 1.0):
+    """shard_spatially for explicit block-column boundaries."""
+    n_shards = mesh.shape[axis]
+    bounds = np.asarray(bounds, np.int64)
+    x = np.asarray(p.x)
+    act = np.asarray(p.active)
+    col = np.clip((x[:, 0] / cfg.dx).astype(np.int64), 0, cfg.res[0] - 1) // 4
+    slab = np.clip(np.searchsorted(bounds, col, side="right") - 1, 0,
+                   n_shards - 1)
+    counts = np.bincount(slab[act], minlength=n_shards)
+    C_local = max(int(np.ceil(counts.max() * slack)), 8)
+
+    def reorganize(a):
+        a = np.asarray(a)
+        out = np.zeros((n_shards * C_local,) + a.shape[1:], a.dtype)
+        for sh in range(n_shards):
+            sel = act & (slab == sh)
+            out[sh * C_local : sh * C_local + sel.sum()] = a[sel]
+        return out
+
+    arrays = {
+        f.name: reorganize(getattr(p, f.name))
+        for f in dataclasses.fields(p) if f.name != "active"
+    }
+    active = np.zeros(n_shards * C_local, bool)
+    for sh in range(n_shards):
+        active[sh * C_local : sh * C_local + int(counts[sh])] = True
+    arrays["F"][~active] = np.eye(cfg.dim, dtype=np.float32)
+    p_new = Particles(active=jnp.asarray(active),
+                      **{k: jnp.asarray(v) for k, v in arrays.items()})
+    put = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+    )
+    return jax.tree.map(put, p_new)
+
+
+def build_spatial_balanced_frame(
+    cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    axis: str = "x", K: int = 1024, budget: int = 256, r: int = 1,
+    interpret: bool = False,
+):
+    """The blocked-pipeline frame over LOAD-BALANCED slabs.
+
+    fn(p, t, bounds, hist) -> (p, t, bounds, hist, needed, n_act):
+    bounds/hist are replicated and thread frame-to-frame (the histogram
+    feeds the NEXT rebalance); rebalancing runs at the frame-start
+    resort and at every drift-triggered mid-frame resort."""
+    n_shards = mesh.shape[axis]
+    CB, uniform_np, lcfg = balanced_params(cfg, n_shards, r)
+    uniform = jnp.asarray(uniform_np, jnp.int32)
+
+    def local_frame(p: Particles, t, bounds, hist):
+        s = jax.lax.axis_index(axis)
+
+        def resort(p, bounds, hist):
+            bounds = rebalance_bounds(hist, bounds, uniform, r, n_shards)
+            dest = _dest_from_bounds(p, bounds, cfg, n_shards)
+            p, needed = migrate(p, s, axis, cfg, n_shards, budget,
+                                count_only_overflow=False, dest=dest)
+            off_cells = ((bounds[s] - 1) * 4).astype(jnp.float32)
+            off = off_cells * cfg.dx
+            x_loc = p.x - jnp.stack(
+                [off, jnp.zeros_like(off), jnp.zeros_like(off)], -1
+            )
+            total = blocked.total_blocks_padded(lcfg)
+            keys = jnp.where(
+                p.active, blocked.block_id_of(x_loc, lcfg), total
+            )
+            p, keys, _ = sort_particles_by_keys(p, keys)
+            pm = build_page_map_full(keys, lcfg, K)
+            hist = col_hist_from_pm(pm, bounds[s], lcfg, CB, axis)
+            return p, keys, pm, bounds, hist, needed
+
+        p, keys, pm, bounds, hist, needed0 = resort(p, bounds, hist)
+
+        def body(carry, _):
+            p, keys, pm, bounds, hist, drift, t, need_max, na = carry
+            off_cells = ((bounds[s] - 1) * 4).astype(jnp.float32)
+            wcols = bounds[s + 1] - bounds[s]
+            p, t, vmax, n_act = spatial_blocked_substep_presorted(
+                p, keys, pm, t, cfg, lcfg, colliders, cfg.base_dt, axis, s,
+                n_shards, interpret=interpret, off_cells=off_cells,
+                wcols=wcols,
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(drift, axis) >= 0.45
+
+            def do_resort(args):
+                p, bounds, hist = args
+                return resort(jax.lax.optimization_barrier(p), bounds, hist)
+
+            def keep(args):
+                p, _, _ = args
+                return p, keys, pm, bounds, hist, jnp.int32(0)
+
+            p, keys2, pm2, bounds, hist, needed = jax.lax.cond(
+                need, do_resort, keep, (p, bounds, hist)
+            )
+            drift = jnp.where(need, 0.0, drift)
+            return (p, keys2, pm2, bounds, hist, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, n_act)), None
+
+        carry = (p, keys, pm, bounds, hist, jnp.float32(0.0), t, needed0,
+                 pm["n_act"])
+        (p, keys, pm, bounds, hist, _, t, need_max, n_act), _ = jax.lax.scan(
+            body, carry, None, length=n_substeps
+        )
+        return (
+            p, t, bounds, hist,
+            jax.lax.pmax(need_max, axis), jax.lax.pmax(n_act, axis),
+        )
+
+    pspec = P(axis)
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P(), P()),
+        out_specs=(p_specs, P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_spatial_balanced_frames(
+    p, t, cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    n_frames: int = 1, axis: str = "x", K: int = 1024, budget: int = 256,
+    r: int = 1, bounds=None, hist=None, interpret: bool = False,
+):
+    """Load-balanced frame driver with the same overflow auto-grow
+    discipline as run_spatial_blocked_frames. Returns (p, t, state) —
+    pass state's bounds/hist back in to continue."""
+    n_shards = mesh.shape[axis]
+    CB, _, _ = balanced_params(cfg, n_shards, r)
+    if bounds is None:
+        bounds = jnp.asarray(
+            balanced_bounds_host(
+                jax.tree.map(np.asarray, p), cfg, n_shards, r
+            ), jnp.int32,
+        )
+    if hist is None:
+        hist = jnp.zeros((CB,), jnp.int32)
+    frame = build_spatial_balanced_frame(
+        cfg, colliders, n_substeps, mesh, axis, K, budget, r, interpret
+    )
+    local_cap = p.x.shape[0] // n_shards
+    for _ in range(n_frames):
+        while True:
+            p2, t2, bounds2, hist2, needed, n_act = frame(p, t, bounds, hist)
+            needed, n_act = int(needed), int(n_act)
+            grow_budget = needed > budget
+            grow_K = n_act > K
+            if not (grow_budget or grow_K):
+                p, t, bounds, hist = p2, t2, bounds2, hist2
+                break
+            if needed >= local_cap:
+                raise RuntimeError(
+                    f"shard capacity exhausted ({needed} arrivals vs "
+                    f"{local_cap} local slots); reshard with more slack"
+                )
+            if grow_budget:
+                budget = -(-2 * needed // 64) * 64
+            if grow_K:
+                K = -(-2 * n_act // 64) * 64
+            frame = build_spatial_balanced_frame(
+                cfg, colliders, n_substeps, mesh, axis, K, budget, r,
+                interpret,
+            )
+    return p, t, dict(K=K, budget=budget, bounds=bounds, hist=hist)
 
 
 def run_spatial_blocked_frames(

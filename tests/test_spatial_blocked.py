@@ -149,3 +149,75 @@ def test_cpic_multichip_matches_single_chip():
     np.testing.assert_allclose(
         np.asarray(b1.omega), np.asarray(b2.omega), atol=1e-5
     )
+
+
+def test_balanced_slabs_match_and_rebalance():
+    """Load-balanced slabs: a heavily clustered scene must (a) stay
+    exactly equal to the single-chip blocked path while boundaries
+    move, and (b) actually move the boundaries toward the cluster so
+    per-shard active work evens out (the chip-level analog of the
+    reference's TBB work-stealing block dispatch, mpm.cpp:919-1014)."""
+    from taichi_mpm_tpu.parallel.spatial_blocked import (
+        balanced_bounds_host,
+        run_spatial_balanced_frames,
+        shard_spatially_bounds,
+    )
+    from taichi_mpm_tpu.ops.substep import blocked_frame
+
+    rng = np.random.default_rng(7)
+    sim = MPM(res=(64, 32, 32), base_delta_t=2e-4,
+              gravity=(0.0, -10.0, 0.0))
+    n = 800
+    # cluster in the left 20% of x: a uniform split leaves one shard
+    # with ~everything
+    x0 = np.empty((n, 3), np.float32)
+    x0[:, 0] = rng.uniform(0.03, 0.20, n)
+    x0[:, 1] = rng.uniform(0.2, 0.8, n)
+    x0[:, 2] = rng.uniform(0.2, 0.8, n)
+    sim.add_particles("jelly", pos=x0, density=1000.0, E=1e4, nu=0.3)
+    sim._finalize()
+    cfg = sim.cfg
+    v = np.zeros((n, 3), np.float32)
+    v[:, 0] = 3.0  # rightward drift: boundaries must keep adapting
+    p = dataclasses.replace(sim.particles, v=jnp.asarray(v))
+    colliders = (
+        levelset.box_domain(
+            lo=(0.02, 0.05, 0.05), hi=(0.98, 0.95, 0.95), friction=0.3
+        ),
+    )
+    n_sub, n_frames = 6, 3
+
+    p_ref = sim.particles
+    p_ref = dataclasses.replace(p_ref, v=jnp.asarray(v))
+    t = jnp.float32(0.0)
+    for _ in range(n_frames):
+        p_ref, t, _, _ = blocked_frame(
+            p_ref, t, cfg, colliders, cfg.base_dt, n_sub,
+            min(1024, total_blocks_padded(cfg)), interpret=True,
+        )
+    xr = np.asarray(p_ref.x)[np.asarray(p_ref.active)]
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("x",))
+    r = 3  # CB=16, S=2: uniform gap 8 -> r_max = 3
+    bounds0 = balanced_bounds_host(p, cfg, 2, r)
+    assert bounds0[1] < 8  # host init already shifted toward cluster
+    ps = shard_spatially_bounds(p, cfg, mesh, bounds0, slack=2.0)
+    ps2, t2, state = run_spatial_balanced_frames(
+        ps, jnp.float32(0.0), cfg, colliders, n_sub, mesh,
+        n_frames=n_frames, K=512, budget=256, r=r, interpret=True,
+    )
+    xs = np.asarray(ps2.x)[np.asarray(ps2.active)]
+    assert xr.shape == xs.shape  # zero loss
+    np.testing.assert_allclose(
+        xr[np.lexsort(xr.T)], xs[np.lexsort(xs.T)], atol=1e-5
+    )
+    bounds = np.asarray(state["bounds"])
+    assert bounds[0] == 0 and bounds[-1] == 16
+    assert bounds[1] <= 8 - 1  # still biased toward the cluster
+    # balance quality: local active counts within the r-limited ideal
+    cap_l = ps2.x.shape[0] // 2
+    act = np.asarray(ps2.active)
+    n_left = act[:cap_l].sum()
+    hist = np.asarray(state["hist"])
+    ideal_left = hist[: bounds[1]].sum()
+    assert n_left == ideal_left  # ownership == boundary split
