@@ -490,16 +490,45 @@ class MPM:
                                 b1: int, Kr: int):
         cfg = self.cfg
         scene = self.rigid_scene
-        from taichi_mpm_tpu.rigid.cpic_blocked import (
-            cpic_frame_carry,
-            cpic_pack_carry,
-        )
 
         self._blocked_cap = cap
         self._near_budget = near
         self._near_b1 = b1
         self._rigid_cap = Kr
         self._pcarry = None  # persistent sorted carry, like the plain path
+        cap_p = self.particles.capacity
+
+        if self.fused:
+            # packed-carry CPIC (rigid/cpic_packed): fused bulk P2G,
+            # packed G2P+finish, corrections on a budget-sized mini view
+            from taichi_mpm_tpu.ops import packed
+            from taichi_mpm_tpu.rigid.cpic_packed import (
+                cpic_packed_frame_carry,
+                cpic_packed_pack_carry,
+            )
+
+            @jax.jit
+            def pack_fn(p):
+                return cpic_packed_pack_carry(p, cfg, cap)
+
+            def fn(carry, bodies, t):
+                carry, bodies, t, n_act, n_near, n_coarse, n_r, _, plast = (
+                    cpic_packed_frame_carry(
+                        carry, bodies, t, cfg, scene, cfg.base_dt,
+                        n_substeps, cap, near, b1, Kr
+                    )
+                )
+                p = packed.unpack_particles(carry[0], cap_p)
+                return (carry, p, bodies, t, n_act, n_near, n_coarse, n_r,
+                        plast)
+
+            self._pack_jit = pack_fn
+            return jax.jit(fn)
+
+        from taichi_mpm_tpu.rigid.cpic_blocked import (
+            cpic_frame_carry,
+            cpic_pack_carry,
+        )
 
         @jax.jit
         def pack_fn(p):
@@ -512,7 +541,8 @@ class MPM:
                     cap, near, b1, Kr
                 )
             )
-            return carry, bodies, t, n_act, n_near, n_coarse, n_r, plast
+            return (carry, carry[0], bodies, t, n_act, n_near, n_coarse,
+                    n_r, plast)
 
         self._pack_jit = pack_fn
         return jax.jit(fn)
@@ -565,7 +595,7 @@ class MPM:
             while True:
                 if self._pcarry is None:
                     self._pcarry = self._pack_jit(self.particles)
-                carry2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
+                carry2, p2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
                     self._frame_jit(self._pcarry, self.bodies, self.t)
                 )
                 n_act, n_near, n_coarse, n_r = (
@@ -583,7 +613,7 @@ class MPM:
                 grow_kr = n_r > self._rigid_cap and self._rigid_cap < nbt
                 if not (grow_cap or grow_near or grow_b1 or grow_kr):
                     self._pcarry = carry2
-                    self.particles = carry2[0]
+                    self.particles = p2
                     self.bodies, self.t = b2, t2
                     self.plasticity_counter += int(plast)
                     break

@@ -374,6 +374,51 @@ def g2p_correction(
     return dv, dB, rid_last
 
 
+def rigid_prologue(bodies, scene, cfg: SimConfig, gcfg: SimConfig, dt,
+                   Kr: int, world_off=None):
+    """The per-substep rigid prologue shared by the pytree and packed
+    CPIC paths: coupling_iterations x {rigidify, articulate, rasterize
+    CDF} (mpm.cpp:467-471). In multichip mode every shard runs this
+    identically on replicated bodies (deterministic, collective-free).
+    Returns (bodies, ncdf, n_r, xb_world)."""
+    from taichi_mpm_tpu.rigid import articulation as artic
+    from taichi_mpm_tpu.rigid import collision as coll
+
+    R = bodies.num
+    for _ in range(max(1, cfg.coupling_iterations)):
+        if scene.collision is not None:
+            dirs = jnp.asarray(coll.icosphere_directions())
+            bodies = coll.rigidify(
+                bodies, scene.hull_verts, scene.collision, dirs, dt
+            )
+        if scene.articulations:
+            bodies = artic.articulate(bodies, scene.articulations, dt)
+        xb, _, elem_w = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        if world_off is not None:
+            xb_g = xb - world_off
+            elem_g = elem_w - world_off
+        else:
+            xb_g, elem_g = xb, elem_w
+        if Kr > 0:
+            rids, rslot_map, n_r = cdf.rigid_page_map(xb_g, gcfg, Kr)
+            dist_r, rid_r, states_r = cdf.rasterize_rigid_boundary_records(
+                xb_g, elem_g, scene.bp_rid, R, gcfg, rslot_map, Kr
+            )
+            ncdf = cdf.RecordNodeCDF(
+                dist_r, rid_r, states_r, rids, rslot_map, Kr, gcfg
+            )
+        else:
+            grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
+                xb_g, elem_g, scene.bp_rid, R, gcfg
+            )
+            ncdf = cdf.DenseNodeCDF(grid_dist, grid_rid, grid_states, gcfg)
+            n_r = jnp.int32(0)
+    return bodies, ncdf, n_r, xb
+
+
 def cpic_blocked_substep_presorted(
     p: Particles, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
     near_budget: int, b1: int = 0, Kr: int = 0,
@@ -427,41 +472,9 @@ def cpic_blocked_substep_presorted(
     near_budget = min(near_budget, n)
     K = pm["ids"].shape[0]
 
-    # -- rigid prologue (same order as cpic_substep / reference substep,
-    # coupling_iterations x {rigidify, articulate, rasterize},
-    # mpm.cpp:467-471). In multichip mode every shard runs this
-    # identically on replicated bodies (deterministic, collective-free).
-    for _ in range(max(1, cfg.coupling_iterations)):
-        if scene.collision is not None:
-            dirs = jnp.asarray(coll.icosphere_directions())
-            bodies = coll.rigidify(
-                bodies, scene.hull_verts, scene.collision, dirs, dt
-            )
-        if scene.articulations:
-            bodies = artic.articulate(bodies, scene.articulations, dt)
-        xb, _, elem_w = boundary_particle_world(
-            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
-            scene.bp_elem,
-        )
-        if world_off is not None:
-            xb_g = xb - world_off
-            elem_g = elem_w - world_off
-        else:
-            xb_g, elem_g = xb, elem_w
-        if Kr > 0:
-            rids, rslot_map, n_r = cdf.rigid_page_map(xb_g, gcfg, Kr)
-            dist_r, rid_r, states_r = cdf.rasterize_rigid_boundary_records(
-                xb_g, elem_g, scene.bp_rid, R, gcfg, rslot_map, Kr
-            )
-            ncdf = cdf.RecordNodeCDF(
-                dist_r, rid_r, states_r, rids, rslot_map, Kr, gcfg
-            )
-        else:
-            grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
-                xb_g, elem_g, scene.bp_rid, R, gcfg
-            )
-            ncdf = cdf.DenseNodeCDF(grid_dist, grid_rid, grid_states, gcfg)
-            n_r = jnp.int32(0)
+    bodies, ncdf, n_r, xb = rigid_prologue(
+        bodies, scene, cfg, gcfg, dt, Kr, world_off=world_off
+    )
     p_loc = (
         dataclasses.replace(p, x=p.x - world_off)
         if world_off is not None else p

@@ -1,0 +1,365 @@
+"""CPIC on the PACKED performance path.
+
+rigid/cpic_blocked.py implements compute-then-correct CPIC over the
+Particles pytree — its bulk transfers pay the (N, 3)/(N, 3, 3) layout
+tax the plain path eliminated in round 2 (CLAUDE.md invariants). This
+module runs the same algorithm over the flat channel-major packed
+state (ops/rows.py):
+
+  * bulk P2G = the fused prep+P2G kernel (ops/fused_pallas.p2g_fused)
+    — identical values to prep_p2g (transfer.cpp:452-454);
+  * bulk G2P = the packed window kernel + finish_packed, with the CPIC
+    G2P correction added into the (16, Pw) output rows BETWEEN gather
+    and finish (the F-update must see the corrected B, exactly like
+    g2p_finish after g2p_correction in the pytree path);
+  * the near-rigid compaction, CDF gather and the sparse correction
+    passes (transfer.cpp:222-254, 620-682) run on a budget-sized MINI
+    pytree gathered from the packed rows — budget-sized (B, 3)/(B, 3,
+    3) arrays are fine, it is only capacity-sized ones that blow up;
+  * the CDF result (states/bdist/bnormal/near_b) is scattered back
+    into rows 37-42 before P2G (the colored transfers read affinity).
+
+Algebraically identical to cpic_blocked_substep_presorted — pinned by
+tests/test_cpic_packed.py differentials.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from taichi_mpm_tpu.config import SimConfig
+from taichi_mpm_tpu.core.state import Particles
+from taichi_mpm_tpu.ops import blocked, packed
+from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
+from taichi_mpm_tpu.ops.packed import row
+from taichi_mpm_tpu.ops.rows import (
+    NCH,
+    RACT,
+    RAUX,
+    RBDIST,
+    RBN,
+    RC,
+    RF,
+    RMASS,
+    RMAT,
+    RNEARB,
+    RORG,
+    RPAR,
+    RSTATES,
+    RV,
+    RVOL,
+    RX,
+)
+from taichi_mpm_tpu.ops.substep import grid_update_flat
+from taichi_mpm_tpu.rigid import cdf
+from taichi_mpm_tpu.rigid.body import accumulate_impulses, apply_impulses
+from taichi_mpm_tpu.rigid.cpic_blocked import (
+    g2p_correction,
+    p2g_correction,
+    rigid_prologue,
+)
+from taichi_mpm_tpu.math.kernels import bspline_weights
+from taichi_mpm_tpu.core.transfer import stencil_offsets
+
+
+def _bits_i(a):
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _bits_f(a):
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def gather_mini(st, idx, pw):
+    """Budget-sized Particles view gathered from packed rows at idx.
+    Downstream correction passes index it with arange (identity), so
+    the pytree-form correction code runs unchanged on packed state."""
+    g = lambda r: row(st, r, pw)[idx]
+    m33 = lambda r0: jnp.stack(
+        [jnp.stack([g(r0 + 3 * i + j) for j in range(3)], -1)
+         for i in range(3)], -2,
+    )
+    return Particles(
+        x=jnp.stack([g(RX + k) for k in range(3)], -1),
+        v=jnp.stack([g(RV + k) for k in range(3)], -1),
+        F=m33(RF),
+        C=m33(RC),
+        aux=g(RAUX),
+        mass=g(RMASS),
+        vol=g(RVOL),
+        mat=_bits_i(g(RMAT)),
+        params=jnp.stack([g(RPAR + k) for k in range(8)], -1),
+        active=g(RACT) > 0.5,
+        states=_bits_i(g(RSTATES)),
+        bdist=g(RBDIST),
+        bnormal=jnp.stack([g(RBN + k) for k in range(3)], -1),
+        near_b=g(RNEARB) > 0.5,
+    )
+
+
+def compact_near_rigid_packed(
+    st, pm, node_states, cfg: SimConfig, budget: int, b1: int = 0,
+):
+    """compact_near_rigid_ranges on packed rows: stage 1 reads the
+    sorted-particle ranges of tagged blocks straight off the page map
+    (O(K + B1)); stage 2 runs the exact stencil test on row gathers."""
+    nbp = blocked.num_blocks_padded(cfg)
+    total = blocked.total_blocks_padded(cfg)
+    K = pm["ids"].shape[0]
+    pw = st.shape[0] // NCH
+    core = node_states.tagged_blocks().reshape(nbp)
+    for ax in range(3):
+        lo = jnp.concatenate(
+            [core.take(jnp.arange(1, core.shape[ax]), axis=ax),
+             jnp.zeros_like(core.take(jnp.arange(0, 1), axis=ax))], axis=ax
+        )
+        hi = jnp.concatenate(
+            [jnp.zeros_like(core.take(jnp.arange(0, 1), axis=ax)),
+             core.take(jnp.arange(0, core.shape[ax] - 1), axis=ax)], axis=ax
+        )
+        core = core | lo | hi
+    core_flat = jnp.concatenate([core.reshape(-1), jnp.zeros((1,), bool)])
+    tagged = core_flat[jnp.minimum(pm["ids"], total)] & (pm["ids"] < total)
+
+    counts = jnp.where(tagged, pm["e_arr"] - pm["s_arr"], 0)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    n_coarse = offs[-1]
+    B1 = min(b1 if b1 else 4 * budget, pw)
+    j = jnp.arange(B1, dtype=jnp.int32)
+    slot = jnp.clip(
+        jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1,
+        0, K - 1,
+    )
+    idx1 = jnp.clip(pm["s_arr"][slot] + j - offs[slot], 0, pw - 1)
+    valid1 = j < jnp.minimum(n_coarse, B1)
+
+    pos = jnp.stack(
+        [row(st, RX + k, pw)[idx1] for k in range(3)], -1
+    ) * cfg.inv_dx
+    pstates = _bits_i(row(st, RSTATES, pw)[idx1])
+    nodes_arr = jnp.asarray(cfg.grid_nodes)
+    base, _, _ = bspline_weights(cfg.kernel_order, pos)
+    exact = jnp.zeros((B1,), bool)
+    for off in stencil_offsets(cfg.dim, cfg.kernel_order):
+        nidx = base + jnp.asarray(off, jnp.int32)
+        inb = jnp.all((nidx >= 0) & (nidx < nodes_arr), -1)
+        s, _, _ = node_states.lookup(nidx, inb)
+        exact = exact | (s != 0)
+    exact = valid1 & (exact | (pstates != 0))
+
+    order2 = jnp.argsort(jnp.where(exact, 0, 1), stable=True).astype(jnp.int32)
+    n_exact = jnp.sum(exact.astype(jnp.int32))
+    idx = idx1[order2[:budget]]
+    valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(n_exact, budget)
+    return idx, valid, n_exact, n_coarse
+
+
+def cpic_packed_substep_presorted(
+    st, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
+    near_budget: int, b1: int = 0, Kr: int = 0, interpret: bool = False,
+):
+    """One coupled substep on the packed carry against a frozen
+    sort/page map (the packed twin of cpic_blocked_substep_presorted;
+    same stage order as the reference substep, mpm.cpp:455-520).
+
+    Returns ((st, bodies, t+dt), n_near, n_coarse, n_r, vmax, plast)."""
+    from taichi_mpm_tpu.ops import fused_pallas
+    from taichi_mpm_tpu.rigid import collision as coll
+    from taichi_mpm_tpu.rigid.body import advance
+
+    R = bodies.num
+    pw = st.shape[0] // NCH
+    K = pm["ids"].shape[0]
+    near_budget = min(near_budget, pw)
+
+    bodies, ncdf, n_r, xb = rigid_prologue(bodies, scene, cfg, cfg, dt, Kr)
+
+    # -- CDF gather on the compacted near-rigid subset; scatter the
+    # affinity rows back (rows 37-42 rebuilt from zero: leaving the
+    # neighborhood clears affinity, rigid_transfer.cpp:147-149)
+    idx, valid, n_near, n_coarse = compact_near_rigid_packed(
+        st, pm, ncdf, cfg, near_budget, b1
+    )
+
+    def _sd_lookup(nidx, inb):
+        s, _, dist = ncdf.lookup(nidx, inb)
+        return s, dist
+
+    x_c = jnp.stack([row(st, RX + k, pw)[idx] for k in range(3)], -1)
+    st_c, bd_c, bn_c, nb_c = cdf.gather_cdf_lookup(
+        x_c, _bits_i(row(st, RSTATES, pw)[idx]), _sd_lookup, R, cfg
+    )
+    zero = jnp.zeros((pw,), jnp.float32)
+    states_row = zero.at[idx].set(
+        jnp.where(valid, _bits_f(st_c), 0.0)
+    )
+    bdist_row = zero.at[idx].set(jnp.where(valid, bd_c, 0.0))
+    bn_rows = [
+        zero.at[idx].set(jnp.where(valid, bn_c[:, k], 0.0)) for k in range(3)
+    ]
+    nearb_row = zero.at[idx].set(
+        (valid & nb_c).astype(jnp.float32)
+    )
+    st = jnp.concatenate(
+        [jax.lax.slice(st, (0,), (RSTATES * pw,)),
+         states_row, bdist_row] + bn_rows + [nearb_row,
+         jax.lax.slice(st, ((RNEARB + 1) * pw,), (NCH * pw,))]
+    )
+
+    # -- bulk P2G: the fused prep+P2G kernel over all particles
+    st2d = st.reshape(NCH, pw)
+    tiles = fused_pallas.p2g_fused(
+        pm["s_arr"], pm["e_arr"], st2d, dt, cfg, interpret=interpret
+    )
+    rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+
+    # -- CPIC P2G correction on the mini pytree (identity inner idx)
+    mini = gather_mini(st, idx, pw)
+    aidx = jnp.arange(idx.shape[0], dtype=jnp.int32)
+    rec, J1, tau1 = p2g_correction(
+        mini, aidx, valid, pm, ncdf, bodies, rec, cfg, dt
+    )
+    bodies = apply_impulses(bodies, J1, tau1)
+
+    if scene.colliders:
+        bodies = coll.rigid_levelset_collision(
+            bodies, xb, scene.bp_rid, scene.colliders, t, dt
+        )
+
+    vrec = grid_update_flat(rec, pm["ids"], cfg, scene.colliders, t, dt)
+    gtiles = blocked.windows_mm(vrec, pm["nbr"])
+
+    # -- bulk G2P on rows + sparse correction into the output rows
+    px = row(st, RX + 0, pw) * cfg.inv_dx - row(st, RORG + 0, pw)
+    py = row(st, RX + 1, pw) * cfg.inv_dx - row(st, RORG + 1, pw)
+    pz = row(st, RX + 2, pw) * cfg.inv_dx - row(st, RORG + 2, pw)
+    posg = jnp.stack([px, py, pz] + [jnp.zeros_like(px)] * 5, 0)
+    pout = g2p_blocked(
+        pm["slot_keys"][None, :], posg, gtiles,
+        jnp.asarray([K], jnp.int32), interpret=interpret,
+    )
+    dv, dB, rid_last = g2p_correction(
+        mini, aidx, valid, pm, ncdf, bodies, vrec, cfg, dt
+    )
+    vmask = valid & mini.active
+    pout = pout.at[0:3, idx].add(jnp.where(vmask, dv.T, 0.0))
+    pout = pout.at[3:12, idx].add(
+        jnp.where(vmask, dB.reshape(-1, 9).T, 0.0)
+    )
+
+    st, vmax, plast = packed.finish_packed(
+        st, pout, cfg, dt, zero_C=row(st, RNEARB, pw) > 0.5
+    )
+
+    # -- boundary penetration penalty (transfer.cpp:671-682) on the
+    # subset only: pen implies near_b, which is zero outside it
+    v_c = jnp.stack([row(st, RV + k, pw)[idx] for k in range(3)], -1)
+    act_c = row(st, RACT, pw)[idx] > 0.5
+    pen = (
+        act_c & vmask & nb_c
+        & (bd_c < -0.05 * cfg.dx) & (bd_c > -0.3 * cfg.dx)
+    )
+    dvp = bd_c[:, None] * bn_c * cfg.penalty
+    v_pen = jnp.where(pen[:, None], v_c - dvp, v_c)
+    st = jnp.concatenate(
+        [jax.lax.slice(st, (0,), (RV * pw,))]
+        + [row(st, RV + k, pw).at[idx].set(
+               jnp.where(vmask & act_c, v_pen[:, k],
+                         row(st, RV + k, pw)[idx]))
+           for k in range(3)]
+        + [jax.lax.slice(st, ((RV + 3) * pw,), (NCH * pw,))]
+    )
+    J2, tau2 = accumulate_impulses(
+        bodies, jnp.clip(rid_last, 0, R - 1), dvp * mini.mass[:, None],
+        mini.x, pen & (rid_last >= 0),
+    )
+    bodies = apply_impulses(bodies, J2, tau2)
+
+    if cfg.particle_collision:
+        st = packed.particle_collision_packed(st, cfg, scene.colliders, t)
+    if cfg.clean_boundary:
+        st = packed.clean_boundary_packed(st, cfg)
+
+    bodies = advance(bodies, t, dt, scene.pos_funcs, scene.rot_funcs,
+                     cfg.gravity)
+    return (st, bodies, t + dt), n_near, n_coarse, n_r, vmax, plast
+
+
+def cpic_packed_pack_carry(p: Particles, cfg: SimConfig, K: int):
+    """Persistent packed CPIC carry (st, keys, pm, drift)."""
+    st = packed.pack_particles(p)
+    st, keys, pm = packed.sort_and_map(st, cfg, K)
+    return (st, keys, pm, jnp.float32(0.0))
+
+
+def cpic_packed_frame_carry(
+    carry, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
+    K: int, near_budget: int, b1: int = 0, Kr: int = 0,
+    interpret: bool = False,
+):
+    """The packed twin of cpic_blocked.cpic_frame_carry: lazy re-sort
+    over the persistent packed carry. Returns (carry, bodies, t, max
+    n_act, max n_near, max n_coarse, max n_r, n_sorts, plast)."""
+    st, keys, pm, drift0 = carry
+
+    def resort(st):
+        return packed.sort_and_map(st, cfg, K)
+
+    def body(carry, _):
+        (st, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr,
+         nsorts, plast) = carry
+        (st, bodies, t), n_near, n_coarse, n_r, vmax, dplast = (
+            cpic_packed_substep_presorted(
+                st, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
+                Kr, interpret=interpret,
+            )
+        )
+        drift = drift + dt * cfg.inv_dx * vmax
+        need = drift >= 0.45
+
+        def do_resort(st):
+            return resort(jax.lax.optimization_barrier(st))
+
+        def keep(st):
+            return st, keys, pm
+
+        st, keys, pm = jax.lax.cond(need, do_resort, keep, st)
+        drift = jnp.where(need, 0.0, drift)
+        nsorts = nsorts + need.astype(jnp.int32)
+        return (
+            st, keys, pm, bodies, drift, t,
+            jnp.maximum(nmax, pm["n_act"]), jnp.maximum(nnear, n_near),
+            jnp.maximum(ncoarse, n_coarse), jnp.maximum(nr, n_r), nsorts,
+            plast + dplast,
+        ), None
+
+    scarry = (
+        st, keys, pm, bodies, drift0, t, pm["n_act"],
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        jnp.int32(0),
+    )
+    (st, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr, nsorts,
+     plast), _ = jax.lax.scan(body, scarry, None, length=n_substeps)
+    return ((st, keys, pm, drift), bodies, t, nmax, nnear, ncoarse, nr,
+            nsorts, plast)
+
+
+def cpic_packed_frame(
+    p: Particles, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
+    K: int, near_budget: int, b1: int = 0, Kr: int = 0,
+    interpret: bool = False,
+):
+    """Pytree-in/pytree-out packed CPIC frame (tests + ad-hoc use)."""
+    cap = p.capacity
+    carry = cpic_packed_pack_carry(p, cfg, K)
+    carry, bodies, t, nmax, nnear, ncoarse, nr, nsorts, plast = (
+        cpic_packed_frame_carry(
+            carry, bodies, t, cfg, scene, dt, n_substeps, K, near_budget,
+            b1, Kr, interpret=interpret,
+        )
+    )
+    return (packed.unpack_particles(carry[0], cap), bodies, t, nmax,
+            nnear, ncoarse, nr, nsorts + 1, plast)
