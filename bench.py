@@ -20,16 +20,130 @@ timed repetition, reporting particle-transfers/sec.
 
 import json
 import os
+import socket
 import time
 
+
+def _guard_tpu_relay():
+    """Fail fast if the axon TPU relay is down.
+
+    The axon plugin claims the device inside `import jax` and spins
+    forever if nothing listens on the relay port — a dead relay would
+    hang the whole bench run. Probe before importing jax; emit an
+    honest zero-valued metric line so the driver records the outage
+    instead of a stall."""
+    plats = os.environ.get("JAX_PLATFORMS", "axon")
+    if "axon" not in plats:
+        return
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=3):
+            return
+    except OSError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "particle_steps_per_sec",
+                "value": 0,
+                "unit": "particle-steps/s/chip",
+                "vs_baseline": 0,
+                "error": "axon TPU relay down (port 8082 closed); bench not run",
+            }
+        )
+    )
+    raise SystemExit(1)
+
+
+_guard_tpu_relay()
+
+
+_PROBE_SRC = """
 import jax
-import jax.numpy as jnp
+from taichi_mpm_tpu.scenes import benchmark_cube
+sim = benchmark_cube(cells=8, res=125, material="jelly", E=2e4, nu=0.35)
+sim.frame_dt = sim.cfg.base_dt * 3
+sim.step()
+jax.block_until_ready(sim.particles.x)
+print("FUSED_OK")
+"""
+
+
+def _wait_for_worker(total_s: float = 1200.0):
+    """Idle-probe the axon worker back to health after a killed probe
+    (killing a client mid-device-op wedges the remote worker for
+    ~5-15 min; the recovery protocol is a tiny op every ~30 s)."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + total_s
+    while time.monotonic() < deadline:
+        time.sleep(30)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "jnp.zeros(8).block_until_ready();print('OK')"],
+                capture_output=True, text=True, timeout=90,
+                start_new_session=True,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        if r.returncode == 0 and "OK" in r.stdout:
+            return True
+    return False
+
+
+def _probe_fused(timeout_s: float = 600.0) -> bool:
+    """Sanity-run the fused Pallas path in a SUBPROCESS before the main
+    bench claims the device (the fused kernels are differential-tested
+    in interpret mode but a Mosaic miscompile/hang on real hardware
+    would otherwise stall the whole recorded run). Must be called
+    BEFORE this process imports jax — two concurrent axon clients wedge
+    the remote worker. On failure/timeout the caller falls back to
+    TMT_FUSED=0 (the known-good unfused pipeline)."""
+    import signal
+    import subprocess
+    import sys
+
+    env = dict(os.environ, TMT_FUSED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _PROBE_SRC], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        start_new_session=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        if proc.returncode == 0 and "FUSED_OK" in out:
+            return True
+        print(f"# fused probe failed (rc={proc.returncode}):\n"
+              + "\n".join("# " + l for l in out.splitlines()[-15:]))
+        return False
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        print(f"# fused probe hung >{timeout_s:.0f}s; killed — letting "
+              "the worker recover before the unfused run")
+        _wait_for_worker()
+        return False
+
+
+def _force_platform(jax):
+    """The image pins the axon platform at a level that can win over
+    the JAX_PLATFORMS env var; when the caller asked for a different
+    platform (CPU smoke runs), force it through the config API too."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "axon" not in plats:
+        jax.config.update("jax_platforms", plats)
 
 
 def _bench_kernel(mode: str, cells: int, repeats: int):
     """P2G-only / G2P-only microbenchmark on the benchmark scene's
     sorted state (one jitted x20 loop per timing, like the reference's
     while(true) { rasterize x20 } timers)."""
+    import jax
+    import jax.numpy as jnp
+
+    _force_platform(jax)
     from taichi_mpm_tpu.ops import blocked, packed
     from taichi_mpm_tpu.ops.g2p_pallas import g2p_blocked
     from taichi_mpm_tpu.ops.p2g_pallas import BATCH, p2g_blocked_batched
@@ -106,6 +220,20 @@ def main():
     if mode in ("p2g", "g2p"):
         return _bench_kernel(mode, cells, repeats)
 
+    # fused-path watchdog: only on the real-TPU axon backend, only when
+    # fused would be on, and before THIS process touches jax
+    if (
+        "axon" in os.environ.get("JAX_PLATFORMS", "axon")
+        and os.environ.get("TMT_FUSED", "1") != "0"
+        and os.environ.get("BENCH_PROBE", "1") != "0"
+    ):
+        if not _probe_fused():
+            os.environ["TMT_FUSED"] = "0"
+
+    import jax
+
+    _force_platform(jax)
+
     from taichi_mpm_tpu.scenes import benchmark_cube
 
     n_particles = cells**3 * 8
@@ -130,6 +258,7 @@ def main():
                 "value": pps,
                 "unit": "particle-steps/s/chip",
                 "vs_baseline": pps / (1e9 / 8),
+                "fused": sim.fused,
                 # the target is a v5p-8 aggregate; this run is ONE v5e
                 # chip (~1/3.4 the HBM bandwidth of a v5p chip), so
                 # vs_baseline compares against the per-chip share
