@@ -31,6 +31,22 @@ def parse_args(**defaults):
     return args
 
 
+def mpm_class():
+    """The scene's solver class: `MPM`, or `DistributedMPM` over the
+    first SHARDS=N devices (scenes stay driver-agnostic — the
+    distributed driver exposes the same API)."""
+    import functools
+
+    n = int(os.environ.get("SHARDS", "1"))
+    if n > 1:
+        from taichi_mpm_tpu.parallel.driver import DistributedMPM
+
+        return functools.partial(DistributedMPM, n_shards=n)
+    from taichi_mpm_tpu.core.solver import MPM
+
+    return MPM
+
+
 def simulate(sim, args, frame_update=None, print_energy=False):
     """Frame loop with output/snapshots (reference simulate(),
     scripts/async/async_mpm.py:224-256)."""

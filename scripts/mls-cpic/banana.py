@@ -5,17 +5,16 @@ import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from math import floor
 
-from common import parse_args, simulate
+from common import mpm_class, parse_args, simulate
 
 from taichi_mpm_tpu.core.levelset import Collider
-from taichi_mpm_tpu.core.solver import MPM
 from taichi_mpm_tpu.rigid.mesh import plate_mesh, sphere_mesh
 from taichi_mpm_tpu.sampling import texture
 
 args = parse_args(frames=200, res=96)
 r = args.res
 
-sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
+sim = mpm_class()(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
           cfl=0.5, rpic_damping=1.0)
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.42, friction=-1.0))
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 0] - 0.16, friction=-1.0))

@@ -2,17 +2,16 @@
 (reference scripts/mls-cpic/bunny_split.py; bunny mesh -> sphere)."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import parse_args, simulate
+from common import mpm_class, parse_args, simulate
 
 from taichi_mpm_tpu.core.levelset import Collider
-from taichi_mpm_tpu.core.solver import MPM
 from taichi_mpm_tpu.rigid.mesh import plate_mesh
 from taichi_mpm_tpu.sampling import texture
 
 args = parse_args(frames=150, res=96)
 r = args.res
 
-sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3)
+sim = mpm_class()(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3)
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.1, friction=0.2))
 
 tex = texture.sphere((0.5, 0.6, 0.5), 0.12) * 8

@@ -8,10 +8,9 @@ weakly-compressible CPIC transmits fluid force through velocity
 differences and the stress term, which needs moving water."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import parse_args, simulate
+from common import mpm_class, parse_args, simulate
 
 from taichi_mpm_tpu.core import levelset
-from taichi_mpm_tpu.core.solver import MPM
 from taichi_mpm_tpu.rigid.mesh import box_mesh
 from taichi_mpm_tpu.sampling import texture
 
@@ -19,7 +18,7 @@ args = parse_args(frames=150, res=64)
 r = args.res
 friction = 0.3
 
-sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
+sim = mpm_class()(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
           pushing_force=0.0, capacity=120_000)
 # tank: floor + 4 walls (the reference's five scripted rigid slabs)
 sim.add_collider(levelset.box_domain(

@@ -2,12 +2,11 @@
 (reference scripts/mls-cpic/sand_paddles.py)."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import parse_args, simulate
+from common import mpm_class, parse_args, simulate
 
 import numpy as np
 
 from taichi_mpm_tpu.core.levelset import Collider
-from taichi_mpm_tpu.core.solver import MPM
 from taichi_mpm_tpu.sampling import texture
 
 from taichi_mpm_tpu.rigid.mesh import paddle_wheel_mesh
@@ -15,7 +14,7 @@ from taichi_mpm_tpu.rigid.mesh import paddle_wheel_mesh
 args = parse_args(frames=120, res=64)
 r = args.res
 
-sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
+sim = mpm_class()(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
           capacity=50_000)
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.12, friction=0.4))
 

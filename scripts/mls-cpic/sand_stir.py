@@ -4,17 +4,16 @@ import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import math
 
-from common import parse_args, simulate
+from common import mpm_class, parse_args, simulate
 
 from taichi_mpm_tpu.core.levelset import Collider
-from taichi_mpm_tpu.core.solver import MPM
 from taichi_mpm_tpu.rigid.mesh import cylinder_mesh
 from taichi_mpm_tpu.sampling import texture
 
 args = parse_args(frames=200, res=64)
 r = args.res
 
-sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3)
+sim = mpm_class()(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3)
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.1, friction=0.4))
 
 bed = texture.box((0.2, 0.1, 0.2), (0.8, 0.25, 0.8)) * 4

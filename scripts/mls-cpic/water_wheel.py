@@ -3,12 +3,11 @@ water source (reference scripts/mls-cpic/water_wheel.py — the ww_*.obj
 meshes are re-created procedurally as hub + paddle wheel)."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import parse_args, simulate
+from common import mpm_class, parse_args, simulate
 
 import numpy as np
 
 from taichi_mpm_tpu.core.levelset import Collider
-from taichi_mpm_tpu.core.solver import MPM
 from taichi_mpm_tpu.rigid.mesh import cylinder_mesh, paddle_wheel_mesh
 from taichi_mpm_tpu.sampling import texture
 
@@ -16,8 +15,9 @@ args = parse_args(frames=120, res=64)
 r = args.res
 center = (0.5, 0.5, 0.5)
 
-sim = MPM(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01, penalty=1e3,
-          capacity=50_000)
+# SHARDS=N runs this scene multichip through DistributedMPM
+sim = mpm_class()(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01,
+                  penalty=1e3, capacity=50_000)
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.1, friction=0.2))
 
 hub = sim.add_particles(

@@ -11,11 +11,22 @@ from taichi_mpm_tpu.core.adaptive import AsyncMPM
 from taichi_mpm_tpu.core.solver import MPM, mechanical_energy
 from taichi_mpm_tpu.core.state import Particles, empty_particles
 
-__version__ = "0.2.0"
+
+def __getattr__(name):
+    # lazy: parallel.driver pulls in the shard_map machinery
+    if name == "DistributedMPM":
+        from taichi_mpm_tpu.parallel.driver import DistributedMPM
+
+        return DistributedMPM
+    raise AttributeError(name)
+
+
+__version__ = "0.3.0"
 
 __all__ = [
     "MPM",
     "AsyncMPM",
+    "DistributedMPM",
     "SimConfig",
     "Particles",
     "empty_particles",
