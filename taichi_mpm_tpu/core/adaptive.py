@@ -150,11 +150,12 @@ class AsyncMPM(MPM):
 
             cap = self._active_block_cap()
             self._blocked_cap = cap
+            fused = self.fused  # fully-fused kernels (MPM.fused default)
 
             def fn(p, t):
                 return packed_adaptive_frame(
                     p, t, cfg, colliders, frame_dt, unit, max_dt, cap,
-                    smul, cmul,
+                    smul, cmul, fused=fused,
                 )
 
             return jax.jit(fn)
@@ -233,11 +234,13 @@ class AsyncMPM(MPM):
         self._bucket_K = cap
 
         interp = jax.default_backend() != "tpu"
+        fused = self.fused
 
         def fn(p, t):
             p, t, nup, nsel, nact, _ = bucketed_frame(
                 p, t, cfg, colliders, self.frame_dt, unit, cap,
                 budgets, K_ctx, smul, cmul, interpret=interp,
+                fused=fused,
             )
             return p, t, nup, nsel, nact
 
@@ -272,10 +275,11 @@ class AsyncMPM(MPM):
             max_dt, smul, cmul = (
                 self.cfg.base_dt, self.strength_dt_mul, self.cfl_dt_mul
             )
+            fused = self.fused
             self._frame_jit = jax.jit(
                 lambda p, t: packed_adaptive_frame(
                     p, t, cfg, colliders, frame_dt, unit, max_dt, cap2,
-                    smul, cmul,
+                    smul, cmul, fused=fused,
                 )
             )
         self.particles, self.t = p, t
@@ -400,11 +404,13 @@ class AsyncMPM(MPM):
             smul, cmul = self.strength_dt_mul, self.cfl_dt_mul
 
             interp = jax.default_backend() != "tpu"
+            fused = self.fused
 
             def fn(p, t):
                 p, t, nup, nsel, nact, _ = bucketed_frame(
                     p, t, cfg, colliders, self.frame_dt, unit, cap,
                     budgets, K_ctx, smul, cmul, interpret=interp,
+                    fused=fused,
                 )
                 return p, t, nup, nsel, nact
 

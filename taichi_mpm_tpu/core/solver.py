@@ -673,9 +673,15 @@ class MPM:
 
     # -- diagnostics ----------------------------------------------------------
 
-    def energy(self) -> float:
-        if self.particles is None:
+    def _ensure_finalized(self):
+        """Materialize pending add_particles batches so read-side
+        accessors (positions/velocities/energy/visualize) work before
+        the first step(), like the reference's always-live pool."""
+        if self.particles is None or self._pending:
             self._finalize()
+
+    def energy(self) -> float:
+        self._ensure_finalized()
         return float(mechanical_energy(self.particles, self.cfg))
 
     def general_action(self, action: str, **kw):
@@ -705,6 +711,7 @@ class MPM:
         visualize.cpp:102-154)."""
         from taichi_mpm_tpu.io.bgeo import write_bgeo
 
+        self._ensure_finalized()
         p = self.particles
         act = np.asarray(p.active)
         attrs = {}
@@ -812,11 +819,13 @@ class MPM:
         self._pcarry = None  # particle state replaced
 
     def positions(self) -> np.ndarray:
+        self._ensure_finalized()
         p = self.particles
         act = np.asarray(p.active)
         return np.asarray(p.x)[act]
 
     def velocities(self) -> np.ndarray:
+        self._ensure_finalized()
         p = self.particles
         act = np.asarray(p.active)
         return np.asarray(p.v)[act]

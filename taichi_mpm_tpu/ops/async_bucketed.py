@@ -144,6 +144,7 @@ def _scatter_rows(st, nch, idx, mini, commit):
 def bucket_substep(
     st, backup_st, keys, pm, lev, L: int, t, cfg: SimConfig, colliders,
     dt, budget: int, K_ctx: int, interpret: bool = False,
+    fused: bool = False,
 ):
     """Advance the level-L bucket by dt: gather its context (bucket
     blocks + 27-neighbors, slower neighbors from backup), run the
@@ -192,28 +193,42 @@ def bucket_substep(
     mini_pm = packed.build_page_map_packed(mini_keys, cfg, K_ctx)
     (mini_new, _), n_act, _, _ = packed.packed_substep_presorted(
         mini, mini_keys, mini_pm, t, cfg, colliders, dt,
-        interpret=interpret,
+        interpret=interpret, fused=fused,
     )
 
     commit = valid & in_bucket[jnp.minimum(pm["slot_keys"][idx], K - 1)] & (
         pm["slot_keys"][idx] < K
     )
+    # drift vmax over the COMMITTED lanes only: context (and empty-
+    # bucket) lanes advance without committing, so their motion must
+    # not charge this bucket's drift accumulator — with context vmax,
+    # empty high-level buckets would fire spurious re-sorts and break
+    # the exact single-level parity with packed_frame's schedule
+    mnact = (row(mini_new, RACT, B) > 0.5) & commit
+    vmax = jnp.max(
+        jnp.stack([
+            jnp.max(jnp.where(mnact, jnp.abs(row(mini_new, RV + k, B)), 0.0))
+            for k in range(3)
+        ])
+    )
     # backup := pre-advance state of committing lanes (time t)
     backup_st = _scatter_rows(backup_st, NCH, idx, mini, commit)
     st = _scatter_rows(st, NCH, idx, mini_new, commit)
     n_updates = jnp.sum(commit & (row(mini, RACT, B) > 0.5))
-    return st, backup_st, n_sel, n_act, n_updates
+    return st, backup_st, n_sel, n_act, n_updates, vmax
 
 
 def bucketed_frame(
     p: Particles, t, cfg: SimConfig, colliders, frame_dt, unit_dt,
     K: int, budget, K_ctx: int, strength_dt_mul=1.0, cfl_dt_mul=1.0,
-    interpret: bool = False, lev_fn=None,
+    interpret: bool = False, lev_fn=None, fused: bool = False,
+    drift_trigger: float = 0.45,
 ):
     """One frame of per-block bucketed time stepping. frame_dt must be
     an integer multiple of unit_dt * 2^MAXLEV for POT alignment (the
-    driver snaps it). dt levels are computed once per frame like the
-    reference's update_dt_limits-per-step (async_mpm.cpp:383).
+    driver snaps it). dt levels are computed at the frame-start sort
+    and at every mid-frame re-sort, like the reference's
+    update_dt_limits-per-step (async_mpm.cpp:383).
 
     `budget` is either one int or a per-level tuple (MAXLEV+1,): each
     level's bucket substep costs O(budget[L]), so fine levels (which
@@ -222,65 +237,123 @@ def bucketed_frame(
     this is what makes the per-block scheme actually SAVE work on TPU
     (fixed shapes scale with the bucket, not the scene).
 
+    Mid-frame LAZY RE-SORT: per-level drift accumulators track each
+    bucket's max cell displacement since the last sort; when any
+    exceeds `drift_trigger`, the frame re-sorts, rebuilds the page map
+    and levels, and resets backups — but only at a tick where every
+    occupied block is time-synchronous (tick divisible by 2^max level),
+    so `backup := st` is exact. Re-computed levels are clamped to the
+    tick's trailing zero count so every level's power-of-two due-ticks
+    stay consistent with the frame tick base (a level-L block advances
+    at multiples of 2^L, which must divide the resort tick). The
+    trigger matches the uniform-dt frames' 0.45 — in the exact
+    (single-level) regime every tick is aligned, so the resort schedule
+    is identical to packed_frame's and bitwise parity holds across
+    resorts; at mixed levels the trigger->alignment sync delay can
+    overshoot the 0.5-cell bound slightly, consistent with the scheme's
+    approximate mixed-time grid. Frames no longer need splitting to
+    keep drift < 0.5 cells.
+
     Returns (p, t, n_updates, n_sel_max (MAXLEV+1,), max n_act_ctx,
-    n_substeps): n_updates is the reference's update_counter (committed
+    info): n_updates is the reference's update_counter (committed
     particle advances); n_sel_max reports each level's context-budget
-    demand (driver re-jits with larger budgets on overflow)."""
+    demand (driver re-jits with larger budgets on overflow); info is
+    {'n_substeps', 'n_resorts'}."""
     if isinstance(budget, int):
         budget = (budget,) * (MAXLEV + 1)
     cap = p.capacity
-    st = packed.pack_particles(p)
-    st, keys = packed.sort_packed(st, cfg)
-    pm = packed.build_page_map_packed(keys, cfg, K)
-    if lev_fn is None:
-        lev = slot_levels(st, keys, pm, cfg, unit_dt,
-                          strength_dt_mul, cfl_dt_mul)
-    else:
-        lev = lev_fn(pm)  # testing hook: explicit level assignment
+    total = blocked.total_blocks_padded(cfg)
+
+    def sort_and_level(st, tz):
+        """Sort + origin annotation + page map + (tz-clamped) level
+        assignment (origins feed the fused kernels' in-kernel prep)."""
+        st, keys, pm = packed.sort_and_map(st, cfg, K)
+        if lev_fn is None:
+            lev = slot_levels(st, keys, pm, cfg, unit_dt,
+                              strength_dt_mul, cfl_dt_mul)
+        else:
+            lev = lev_fn(pm)  # testing hook: explicit level assignment
+        lev = jnp.minimum(lev, tz)
+        return st, keys, pm, lev
+
+    st, keys, pm, lev = sort_and_level(
+        packed.pack_particles(p), jnp.int32(MAXLEV)
+    )
     backup_st = st
 
     n_units = int(round(frame_dt / unit_dt))
     assert n_units % (1 << MAXLEV) == 0, (
         f"frame_dt must be a multiple of unit_dt * 2^{MAXLEV}"
     )
-    lev_present_min = jnp.min(lev)
+
+    def _trailing_zeros(tick):
+        low = (tick & -tick).astype(jnp.float32)
+        return jnp.round(jnp.log2(jnp.maximum(low, 1.0))).astype(jnp.int32)
 
     def tick_body(carry):
-        st, backup_st, tick, t, nup, nselmax, namax, nsub = carry
+        (st, backup_st, keys, pm, lev, drifts, tick, t, nup, nselmax,
+         namax, nsub, nsorts) = carry
+
+        # lazy mid-frame re-sort at time-synchronous ticks
+        occ = (pm["e_arr"] > pm["s_arr"]) & (pm["ids"] < total)
+        lmax_occ = jnp.max(jnp.where(occ, lev, 0))
+        aligned = (tick % jnp.left_shift(jnp.int32(1), lmax_occ)) == 0
+        want = jnp.max(drifts) >= drift_trigger
+        do = aligned & want & (tick > 0)
+
+        def resort(args):
+            st, _, _, _, _, _ = args
+            st, keys, pm, lev = sort_and_level(
+                jax.lax.optimization_barrier(st), _trailing_zeros(tick)
+            )
+            return (st, st, keys, pm, lev,
+                    jnp.zeros((MAXLEV + 1,), jnp.float32))
+
+        def keep(args):
+            return args
+
+        st, backup_st, keys, pm, lev, drifts = jax.lax.cond(
+            do, resort, keep, (st, backup_st, keys, pm, lev, drifts)
+        )
+        nsorts = nsorts + do.astype(jnp.int32)
+
         for L in range(MAXLEV, -1, -1):
             due = (jnp.int32(tick) % (1 << L)) == 0
             has = jnp.any(lev == L)
 
             def advance(args, L=L):
-                st, backup_st, nup, nselmax, namax, nsub = args
-                st, backup_st, n_sel, n_act, n_up = bucket_substep(
+                st, backup_st, drifts, nup, nselmax, namax, nsub = args
+                dt_L = unit_dt * (1 << L)
+                st, backup_st, n_sel, n_act, n_up, vmax = bucket_substep(
                     st, backup_st, keys, pm, lev, L, t, cfg,
-                    colliders, unit_dt * (1 << L), budget[L], K_ctx,
-                    interpret=interpret,
+                    colliders, dt_L, budget[L], K_ctx,
+                    interpret=interpret, fused=fused,
                 )
-                return (st, backup_st, nup + n_up,
+                drifts = drifts.at[L].add(dt_L * cfg.inv_dx * vmax)
+                return (st, backup_st, drifts, nup + n_up,
                         nselmax.at[L].max(n_sel),
                         jnp.maximum(namax, n_act), nsub + 1)
 
             def skip(args):
                 return args
 
-            st, backup_st, nup, nselmax, namax, nsub = jax.lax.cond(
+            st, backup_st, drifts, nup, nselmax, namax, nsub = jax.lax.cond(
                 due & has, advance, skip,
-                (st, backup_st, nup, nselmax, namax, nsub),
+                (st, backup_st, drifts, nup, nselmax, namax, nsub),
             )
-        step = jnp.left_shift(jnp.int32(1), lev_present_min)
-        return (st, backup_st, tick + step,
+        step = jnp.left_shift(jnp.int32(1), jnp.min(lev))
+        return (st, backup_st, keys, pm, lev, drifts, tick + step,
                 t + unit_dt * step.astype(jnp.float32), nup, nselmax,
-                namax, nsub)
+                namax, nsub, nsorts)
 
     def tick_cond(carry):
-        return carry[2] < n_units
+        return carry[6] < n_units
 
-    carry = (st, backup_st, jnp.int32(0), t, jnp.int32(0),
-             jnp.zeros((MAXLEV + 1,), jnp.int32), jnp.int32(0),
-             jnp.int32(0))
-    st, backup_st, _, t, nup, nselmax, namax, nsub = jax.lax.while_loop(
-        tick_cond, tick_body, carry
-    )
-    return packed.unpack_particles(st, cap), t, nup, nselmax, namax, nsub
+    carry = (st, backup_st, keys, pm, lev,
+             jnp.zeros((MAXLEV + 1,), jnp.float32), jnp.int32(0), t,
+             jnp.int32(0), jnp.zeros((MAXLEV + 1,), jnp.int32),
+             jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    (st, backup_st, keys, pm, lev, drifts, _, t, nup, nselmax, namax,
+     nsub, nsorts) = jax.lax.while_loop(tick_cond, tick_body, carry)
+    return (packed.unpack_particles(st, cap), t, nup, nselmax, namax,
+            dict(n_substeps=nsub, n_resorts=nsorts))

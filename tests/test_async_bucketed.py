@@ -176,6 +176,42 @@ def test_isolated_regions_match_per_region_uniform_runs():
     assert n_updates_expected < 0.5 * updates_fine
 
 
+def test_midframe_resort_is_exact():
+    """A fast-moving homogeneous blob drifts > 0.45 cells mid-frame:
+    the bucketed frame must LAZY RE-SORT in-device (n_resorts >= 1) and
+    still reproduce uniform stepping at the level's dt bitwise — in the
+    single-level regime every tick is aligned, so the resort schedule
+    matches packed_frame's exactly (same trigger, same accumulation)."""
+    p, cfg = _make([SOFT])
+    # uniform fast velocity: drift = |v| * FRAME * inv_dx ~ 1 cell
+    v = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (p.capacity, 1))
+    p = dataclasses.replace(p, v=jnp.asarray(v))
+
+    st = packed.pack_particles(p)
+    st, keys = packed.sort_packed(st, cfg)
+    pm = packed.build_page_map_packed(keys, cfg, 512)
+    lev = np.asarray(slot_levels(st, keys, pm, cfg, UNIT))
+    occupied = np.asarray(pm["e_arr"]) > np.asarray(pm["s_arr"])
+    L = int(lev[occupied].min())
+    assert int(lev[occupied].max()) == L  # stays homogeneous
+
+    p2, t2, n_up, n_sel, n_act, info = bucketed_frame(
+        p, jnp.float32(0.0), cfg, (), FRAME, UNIT, K=512, budget=2048,
+        K_ctx=768, interpret=True,
+    )
+    assert int(np.asarray(n_sel).max()) <= 2048 and int(n_act) <= 768
+    assert int(info["n_resorts"]) >= 1  # the drift trigger fired
+
+    n_steps = (1 << MAXLEV) >> L
+    p_ref, _, _, n_sorts_ref, _ = packed.packed_frame(
+        p, jnp.float32(0.0), cfg, (), UNIT * (1 << L), n_steps, 512,
+        interpret=True,
+    )
+    assert int(n_sorts_ref) >= 2  # frame-edge sort + >=1 lazy re-sort
+    np.testing.assert_array_equal(_positions(p2), _positions(p_ref))
+    assert int(n_up) == int(np.asarray(p.active).sum()) * n_steps
+
+
 def test_natural_levels_save_updates_and_stay_finite():
     """With the NATURAL level assignment (graded near fringes), the
     scheme must stay stable/finite and cut the update count — the
