@@ -401,14 +401,27 @@ def particle_collision_packed(st, cfg: SimConfig, colliders, t):
 
 
 def fused_substep_presorted(
-    st, pm, t, cfg: SimConfig, colliders, dt, interpret: bool = False
+    st, pm, t, cfg: SimConfig, colliders, dt, interpret: bool = False,
+    gcfg: SimConfig = None, grid_colliders=None, exchange_fn=None,
 ):
     """One substep with the FULLY-FUSED kernels (ops/fused_pallas):
     prep runs inside the P2G kernel, finish inside the G2P kernel, and
     each state chunk crosses HBM once per kernel. Requires the carry to
-    be sorted via sort_and_map (origin rows annotated)."""
+    be sorted via sort_and_map (origin rows annotated).
+
+    Multichip (shard_map) hooks, mirroring rigid/cpic_packed: `gcfg` is
+    the shard-LOCAL grid config for block-id -> node-coordinate
+    decoding in the grid update (positions and the RORG origin rows
+    stay global-consistent, so the kernels need no hook);
+    `grid_colliders` are the scene colliders shifted into that local
+    frame; `exchange_fn` sums the slab-boundary record columns between
+    the halo merge and the grid update."""
     from taichi_mpm_tpu.ops import fused_pallas
 
+    if gcfg is None:
+        gcfg = cfg
+    if grid_colliders is None:
+        grid_colliders = colliders
     K = pm["ids"].shape[0]
     pw = st.shape[0] // NCH
     st2d = st.reshape(NCH, pw)
@@ -416,7 +429,9 @@ def fused_substep_presorted(
         pm["s_arr"], pm["e_arr"], st2d, dt, cfg, interpret=interpret
     )
     rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
-    vrec = grid_update_flat(rec, pm["ids"], cfg, colliders, t, dt)
+    if exchange_fn is not None:
+        rec = exchange_fn(rec)
+    vrec = grid_update_flat(rec, pm["ids"], gcfg, grid_colliders, t, dt)
     gtiles = blocked.windows_mm(vrec, pm["nbr"])
     st2d, vmaxw, plastw = fused_pallas.g2p_fused(
         pm["slot_keys"][None, :], st2d, gtiles,

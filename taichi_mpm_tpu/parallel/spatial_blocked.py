@@ -419,6 +419,120 @@ def build_spatial_cpic_frame(
     return jax.jit(fn)
 
 
+def build_spatial_cpic_packed_frame(
+    cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    axis: str = "x", K: int = 1024, budget: int = 256,
+    near_budget: int = 4096, b1: int = 0, Kr: int = 0,
+    interpret: bool = False,
+):
+    """The multichip CPIC frame over the PACKED carry: per-shard fused
+    bulk transfers (rigid/cpic_packed) with the same record-plane
+    exchange, replicated-rigid psum coupling, lazy sort and
+    migration-at-resort as build_spatial_cpic_frame. Same signature
+    and return tuple; equal to single-chip CPIC (differential-tested).
+
+    The resort converts packed->pytree->packed around the battle-tested
+    migrate() (rare, drift-triggered); keys/page map live in the local
+    block frame while positions and the RORG origin rows stay global
+    (origin = local block origin + shard offset, so the kernels see
+    single-chip coordinates)."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.rigid.cpic_packed import (
+        cpic_packed_substep_presorted,
+    )
+
+    n_shards = mesh.shape[axis]
+    lcfg = local_config(cfg, n_shards)
+    Wb = slab_cells(cfg, n_shards) // 4
+    total_l = blocked.total_blocks_padded(lcfg)
+
+    def local_frame(p: Particles, bodies, t):
+        s = jax.lax.axis_index(axis)
+        off_cells = shard_offset_cells(s, cfg, n_shards)
+        xoff = off_cells * cfg.dx
+        world_off = jnp.stack(
+            [xoff, jnp.zeros_like(xoff), jnp.zeros_like(xoff)]
+        )
+        gcolls = shifted_colliders(scene.colliders, xoff)
+        cap = p.x.shape[0]
+
+        pm_cell = [None]
+
+        def exchange(rec):
+            rec = exchange_boundary_records(rec, pm_cell[0], lcfg, axis,
+                                            n_shards, Wb)
+            return zero_domain_edge_ghosts(rec, pm_cell[0], lcfg, s, n_shards)
+
+        def resort(st):
+            p2 = packed.unpack_particles(st, cap)
+            p2, needed = migrate(p2, s, axis, cfg, n_shards, budget,
+                                 count_only_overflow=False)
+            keys = _local_keys(p2, s, cfg, lcfg, n_shards)
+            p2, keys, _ = sort_particles_by_keys(p2, keys)
+            st, keys_pw, pm = _pack_with_origins(p2, keys, off_cells,
+                                                 lcfg, K)
+            return st, keys_pw, pm, needed
+
+        st, keys, pm, needed0 = resort(packed.pack_particles(p))
+
+        def body(carry, _):
+            st, keys, pm, bodies, drift, t, need_max, na, nn, nc, nr = carry
+            pm_cell[0] = pm
+            (st, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
+                cpic_packed_substep_presorted(
+                    st, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
+                    near_budget, b1, Kr, interpret=interpret, lcfg=lcfg,
+                    world_off=world_off, axis=axis, grid_colliders=gcolls,
+                    exchange_fn=exchange,
+                )
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(drift, axis) >= 0.45
+
+            def do_resort(st):
+                return resort(jax.lax.optimization_barrier(st))
+
+            def keep(st):
+                return st, keys, pm, jnp.int32(0)
+
+            st, keys2, pm2, needed = jax.lax.cond(need, do_resort, keep, st)
+            drift = jnp.where(need, 0.0, drift)
+            return (st, keys2, pm2, bodies, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"]),
+                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                    jnp.maximum(nr, n_r)), None
+
+        carry = (st, keys, pm, bodies, jnp.float32(0.0), t, needed0,
+                 pm["n_act"], jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        (st, keys, pm, bodies, _, t, need_max, na, nn, nc, nr), _ = (
+            jax.lax.scan(body, carry, None, length=n_substeps)
+        )
+        return (
+            packed.unpack_particles(st, cap), bodies, t,
+            jax.lax.pmax(need_max, axis), jax.lax.pmax(na, axis),
+            jax.lax.pmax(nn, axis), jax.lax.pmax(nc, axis),
+            jax.lax.pmax(nr, axis),
+        )
+
+    pspec = P(axis)
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P()),  # bodies replicated
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # Load-balanced slabs: dynamic boundaries in block-column units
 # ---------------------------------------------------------------------------
@@ -734,3 +848,433 @@ def run_spatial_blocked_frames(
                 cfg, colliders, n_substeps, mesh, axis, K, budget, interpret
             )
     return p, t, dict(K=K, budget=budget)
+
+
+def build_spatial_cpic_packed_balanced_frame(
+    cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    axis: str = "x", K: int = 1024, budget: int = 256,
+    near_budget: int = 4096, b1: int = 0, Kr: int = 0, r: int = 1,
+    interpret: bool = False,
+):
+    """The PACKED-carry multichip CPIC frame over LOAD-BALANCED slabs:
+    build_spatial_cpic_packed_frame with dynamic block-column bounds
+    rebalanced at the lazy re-sorts (build_spatial_balanced_frame's
+    machinery) — the flagship coupled scenes get the work-stealing
+    analog too (mpm.cpp:919-1014).
+
+    fn(p, bodies, t, bounds, hist) -> (p, bodies, t, bounds, hist,
+    needed, n_act, n_near, n_coarse, n_r); bounds/hist thread
+    frame-to-frame, the driver grows budgets and re-runs on overflow
+    (run_spatial_cpic_packed_balanced_frames)."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.rigid.cpic_packed import (
+        cpic_packed_substep_presorted,
+    )
+
+    n_shards = mesh.shape[axis]
+    CB, uniform_np, lcfg = balanced_params(cfg, n_shards, r)
+    uniform = jnp.asarray(uniform_np, jnp.int32)
+    total_l = blocked.total_blocks_padded(lcfg)
+
+    def local_frame(p: Particles, bodies, t, bounds, hist):
+        s = jax.lax.axis_index(axis)
+        cap = p.x.shape[0]
+
+        # exchange() needs the substep's CURRENT page map and owned
+        # width; threaded through a one-slot cell written at the top of
+        # each (traced-once) scan body before the substep runs.
+        pm_cell = [None, None]  # [pm, Wb]
+
+        def exchange(rec):
+            rec = exchange_boundary_records(rec, pm_cell[0], lcfg, axis,
+                                            n_shards, pm_cell[1])
+            return zero_domain_edge_ghosts(rec, pm_cell[0], lcfg, s, n_shards)
+
+        def resort(st, bounds, hist):
+            bounds = rebalance_bounds(hist, bounds, uniform, r, n_shards)
+            p2 = packed.unpack_particles(st, cap)
+            dest = _dest_from_bounds(p2, bounds, cfg, n_shards)
+            p2, needed = migrate(p2, s, axis, cfg, n_shards, budget,
+                                 count_only_overflow=False, dest=dest)
+            off_cells = ((bounds[s] - 1) * 4).astype(jnp.float32)
+            off = off_cells * cfg.dx
+            x_loc = p2.x - jnp.stack(
+                [off, jnp.zeros_like(off), jnp.zeros_like(off)], -1
+            )
+            keys = jnp.where(
+                p2.active, blocked.block_id_of(x_loc, lcfg), total_l
+            )
+            p2, keys, _ = sort_particles_by_keys(p2, keys)
+            st, keys_pw, pm = _pack_with_origins(p2, keys, off_cells,
+                                                 lcfg, K)
+            hist = col_hist_from_pm(pm, bounds[s], lcfg, CB, axis)
+            return st, keys_pw, pm, bounds, hist, needed
+
+        st, keys, pm, bounds, hist, needed0 = resort(
+            packed.pack_particles(p), bounds, hist
+        )
+
+        def body(carry, _):
+            (st, keys, pm, bounds, hist, bodies, drift, t, need_max, na,
+             nn, nc, nr) = carry
+            off_cells = ((bounds[s] - 1) * 4).astype(jnp.float32)
+            xoff = off_cells * cfg.dx
+            world_off = jnp.stack(
+                [xoff, jnp.zeros_like(xoff), jnp.zeros_like(xoff)]
+            )
+            gcolls = shifted_colliders(scene.colliders, xoff)
+            pm_cell[0] = pm
+            pm_cell[1] = bounds[s + 1] - bounds[s]
+            (st, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
+                cpic_packed_substep_presorted(
+                    st, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
+                    near_budget, b1, Kr, interpret=interpret, lcfg=lcfg,
+                    world_off=world_off, axis=axis, grid_colliders=gcolls,
+                    exchange_fn=exchange,
+                )
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(drift, axis) >= 0.45
+
+            def do_resort(args):
+                st, bounds, hist = args
+                return resort(
+                    jax.lax.optimization_barrier(st), bounds, hist
+                )
+
+            def keep(args):
+                st, bounds, hist = args
+                return st, keys, pm, bounds, hist, jnp.int32(0)
+
+            st, keys2, pm2, bounds, hist, needed = jax.lax.cond(
+                need, do_resort, keep, (st, bounds, hist)
+            )
+            drift = jnp.where(need, 0.0, drift)
+            return (st, keys2, pm2, bounds, hist, bodies, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"]),
+                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                    jnp.maximum(nr, n_r)), None
+
+        carry = (st, keys, pm, bounds, hist, bodies, jnp.float32(0.0), t,
+                 needed0, pm["n_act"], jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0))
+        (st, keys, pm, bounds, hist, bodies, _, t, need_max, na, nn, nc,
+         nr), _ = jax.lax.scan(body, carry, None, length=n_substeps)
+        return (
+            packed.unpack_particles(st, cap), bodies, t, bounds, hist,
+            jax.lax.pmax(need_max, axis), jax.lax.pmax(na, axis),
+            jax.lax.pmax(nn, axis), jax.lax.pmax(nc, axis),
+            jax.lax.pmax(nr, axis),
+        )
+
+    pspec = P(axis)
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P(), P(), P()),  # bodies/bounds replicated
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_spatial_cpic_packed_balanced_frames(
+    p, bodies, t, cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    n_frames: int = 1, axis: str = "x", K: int = 1024, budget: int = 256,
+    near_budget: int = 4096, b1: int = 1024, Kr: int = 0, r: int = 1,
+    bounds=None, hist=None, interpret: bool = False,
+):
+    """Balanced packed-CPIC frame driver: migration/page-map/near-set
+    overflow all auto-grow (re-jit + exact re-run from the intact
+    pre-frame state). Returns (p, bodies, t, state)."""
+    n_shards = mesh.shape[axis]
+    CB, _, _ = balanced_params(cfg, n_shards, r)
+    if bounds is None:
+        bounds = jnp.asarray(
+            balanced_bounds_host(
+                jax.tree.map(np.asarray, p), cfg, n_shards, r
+            ), jnp.int32,
+        )
+    if hist is None:
+        hist = jnp.zeros((CB,), jnp.int32)
+
+    def build():
+        return build_spatial_cpic_packed_balanced_frame(
+            cfg, scene, n_substeps, mesh, axis, K, budget, near_budget,
+            b1, Kr, r, interpret,
+        )
+
+    frame = build()
+    local_cap = p.x.shape[0] // n_shards
+    for _ in range(n_frames):
+        while True:
+            (p2, b2, t2, bounds2, hist2, needed, n_act, n_near, n_coarse,
+             _) = frame(p, bodies, t, bounds, hist)
+            needed, n_act = int(needed), int(n_act)
+            n_near, n_coarse = int(n_near), int(n_coarse)
+            grow = False
+            if needed > budget:
+                if needed >= local_cap:
+                    raise RuntimeError(
+                        f"shard capacity exhausted ({needed} arrivals vs "
+                        f"{local_cap} local slots); reshard with more slack"
+                    )
+                budget = -(-2 * needed // 64) * 64
+                grow = True
+            if n_act > K:
+                K = -(-2 * n_act // 64) * 64
+                grow = True
+            if n_near > near_budget:
+                near_budget = -(-2 * n_near // 64) * 64
+                grow = True
+            if n_coarse > b1:
+                b1 = -(-2 * n_coarse // 64) * 64
+                grow = True
+            if not grow:
+                p, bodies, t, bounds, hist = p2, b2, t2, bounds2, hist2
+                break
+            frame = build()
+    return p, bodies, t, dict(K=K, budget=budget, near_budget=near_budget,
+                              b1=b1, bounds=bounds, hist=hist)
+
+
+# ---------------------------------------------------------------------------
+# Plain PACKED-carry multichip frame (the production fused pipeline per
+# shard — the multichip twin of ops.packed.packed_frame)
+# ---------------------------------------------------------------------------
+
+
+def _pack_with_origins(p2: Particles, keys, off_cells, lcfg: SimConfig,
+                       K: int):
+    """Pack a locally-sorted pytree, pad its keys, annotate the RORG
+    origin rows in GLOBAL grid units (local block origin + shard
+    offset, so the fused kernels see single-chip coordinates against
+    the global positions in the carry), and build the local page map.
+    `off_cells` is the shard's x-offset, or an (x, y) pair for pencil
+    meshes."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.ops.rows import NCH, RORG
+
+    if not isinstance(off_cells, tuple):
+        off_cells = (off_cells, None)
+    total_l = blocked.total_blocks_padded(lcfg)
+    cap = p2.x.shape[0]
+    st = packed.pack_particles(p2)
+    pw = st.shape[0] // NCH
+    keys_pw = jnp.concatenate(
+        [keys, jnp.full((pw - cap,), total_l, jnp.int32)]
+    )
+    ox, oy, oz = packed._origin_rows(keys_pw, lcfg)
+    ox = ox + off_cells[0]
+    if off_cells[1] is not None:
+        oy = oy + off_cells[1]
+    st = jax.lax.dynamic_update_slice(
+        st, jnp.concatenate([ox, oy, oz]), (RORG * pw,)
+    )
+    pm = packed.build_page_map_packed(keys_pw, lcfg, K)
+    return st, keys_pw, pm
+
+
+def build_spatial_packed_frame(
+    cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    axis: str = "x", K: int = 1024, budget: int = 256, r: int = None,
+    interpret: bool = False,
+):
+    """The PLAIN multichip frame over the PACKED carry: each shard runs
+    the fully-fused production substep (ops.packed.fused_substep_presorted
+    — prep inside P2G, finish inside G2P) on its slab, with the same
+    record-plane boundary exchange, lazy sort and migration-at-resort
+    as the pytree pipeline. This is what the flagship non-CPIC scenes
+    (benchmark_3d) scale on.
+
+    r=None: uniform slabs; fn(p, t) -> (p, t, needed, n_act).
+    r=int:  LOAD-BALANCED slabs (dynamic block-column bounds within
+    +-r of uniform, rebalanced at resorts); fn(p, t, bounds, hist) ->
+    (p, t, bounds, hist, needed, n_act). Equal to single-chip
+    (differential-tested); overflow discipline as the other runners."""
+    from taichi_mpm_tpu.ops import packed
+
+    n_shards = mesh.shape[axis]
+    balanced = r is not None
+    if balanced:
+        CB, uniform_np, lcfg = balanced_params(cfg, n_shards, r)
+        uniform = jnp.asarray(uniform_np, jnp.int32)
+    else:
+        lcfg = local_config(cfg, n_shards)
+        Wb = slab_cells(cfg, n_shards) // 4
+    total_l = blocked.total_blocks_padded(lcfg)
+
+    def local_frame(p: Particles, t, bounds, hist):
+        s = jax.lax.axis_index(axis)
+        cap = p.x.shape[0]
+        pm_cell = [None, None]  # [pm, owned width in block columns]
+
+        def exchange(rec):
+            rec = exchange_boundary_records(rec, pm_cell[0], lcfg, axis,
+                                            n_shards, pm_cell[1])
+            return zero_domain_edge_ghosts(rec, pm_cell[0], lcfg, s, n_shards)
+
+        def off_of(bounds):
+            if balanced:
+                return ((bounds[s] - 1) * 4).astype(jnp.float32)
+            return shard_offset_cells(s, cfg, n_shards)
+
+        def resort(st, bounds, hist):
+            p2 = packed.unpack_particles(st, cap)
+            if balanced:
+                bounds = rebalance_bounds(hist, bounds, uniform, r, n_shards)
+                dest = _dest_from_bounds(p2, bounds, cfg, n_shards)
+            else:
+                dest = None
+            p2, needed = migrate(p2, s, axis, cfg, n_shards, budget,
+                                 count_only_overflow=False, dest=dest)
+            off_cells = off_of(bounds)
+            off = off_cells * cfg.dx
+            x_loc = p2.x - jnp.stack(
+                [off, jnp.zeros_like(off), jnp.zeros_like(off)], -1
+            )
+            keys = jnp.where(
+                p2.active, blocked.block_id_of(x_loc, lcfg), total_l
+            )
+            p2, keys, _ = sort_particles_by_keys(p2, keys)
+            st, keys_pw, pm = _pack_with_origins(p2, keys, off_cells,
+                                                 lcfg, K)
+            if balanced:
+                hist = col_hist_from_pm(pm, bounds[s], lcfg, CB, axis)
+            return st, keys_pw, pm, bounds, hist, needed
+
+        st, keys, pm, bounds, hist, needed0 = resort(
+            packed.pack_particles(p), bounds, hist
+        )
+
+        def body(carry, _):
+            st, keys, pm, bounds, hist, drift, t, need_max, na = carry
+            off_cells = off_of(bounds)
+            pm_cell[0] = pm
+            pm_cell[1] = (bounds[s + 1] - bounds[s]) if balanced else Wb
+            gcolls = shifted_colliders(colliders, off_cells * cfg.dx)
+            (st, t), n_act, vmax, _ = packed.fused_substep_presorted(
+                st, pm, t, cfg, colliders, cfg.base_dt,
+                interpret=interpret, gcfg=lcfg, grid_colliders=gcolls,
+                exchange_fn=exchange,
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(drift, axis) >= 0.45
+
+            def do_resort(args):
+                st, bounds, hist = args
+                return resort(jax.lax.optimization_barrier(st), bounds, hist)
+
+            def keep(args):
+                st, bounds, hist = args
+                return st, keys, pm, bounds, hist, jnp.int32(0)
+
+            st, keys2, pm2, bounds, hist, needed = jax.lax.cond(
+                need, do_resort, keep, (st, bounds, hist)
+            )
+            drift = jnp.where(need, 0.0, drift)
+            return (st, keys2, pm2, bounds, hist, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, n_act)), None
+
+        carry = (st, keys, pm, bounds, hist, jnp.float32(0.0), t,
+                 needed0, pm["n_act"])
+        (st, keys, pm, bounds, hist, _, t, need_max, n_act), _ = (
+            jax.lax.scan(body, carry, None, length=n_substeps)
+        )
+        out = (packed.unpack_particles(st, cap), t)
+        if balanced:
+            out = out + (bounds, hist)
+        return out + (
+            jax.lax.pmax(need_max, axis), jax.lax.pmax(n_act, axis)
+        )
+
+    pspec = P(axis)
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    n_extra = 2 if balanced else 0
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P(), P()),
+        out_specs=(p_specs, P()) + (P(),) * (n_extra + 2),
+        check_vma=False,
+    )
+    if balanced:
+        return jax.jit(fn)
+    zb = jnp.zeros((n_shards + 1,), jnp.int32)
+    zh = jnp.zeros((1,), jnp.int32)
+    jfn = jax.jit(fn)
+    return lambda p, t: jfn(p, t, zb, zh)
+
+
+def run_spatial_packed_frames(
+    p, t, cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    n_frames: int = 1, axis: str = "x", K: int = 1024, budget: int = 256,
+    r: int = None, bounds=None, hist=None, interpret: bool = False,
+):
+    """Driver for the packed multichip frame with the standard overflow
+    auto-grow (re-jit + exact re-run from the intact pre-frame state).
+    Returns (p, t, state); pass state's bounds/hist back to continue a
+    balanced run."""
+    n_shards = mesh.shape[axis]
+    balanced = r is not None
+    if balanced:
+        CB, _, _ = balanced_params(cfg, n_shards, r)
+        if bounds is None:
+            bounds = jnp.asarray(
+                balanced_bounds_host(
+                    jax.tree.map(np.asarray, p), cfg, n_shards, r
+                ), jnp.int32,
+            )
+        if hist is None:
+            hist = jnp.zeros((CB,), jnp.int32)
+
+    frame = build_spatial_packed_frame(
+        cfg, colliders, n_substeps, mesh, axis, K, budget, r, interpret
+    )
+    local_cap = p.x.shape[0] // n_shards
+    for _ in range(n_frames):
+        while True:
+            if balanced:
+                p2, t2, bounds2, hist2, needed, n_act = frame(
+                    p, t, bounds, hist
+                )
+            else:
+                p2, t2, needed, n_act = frame(p, t)
+            needed, n_act = int(needed), int(n_act)
+            grow = False
+            if needed > budget:
+                if needed >= local_cap:
+                    raise RuntimeError(
+                        f"shard capacity exhausted ({needed} arrivals vs "
+                        f"{local_cap} local slots); reshard with more slack"
+                    )
+                budget = -(-2 * needed // 64) * 64
+                grow = True
+            if n_act > K:
+                K = -(-2 * n_act // 64) * 64
+                grow = True
+            if not grow:
+                p, t = p2, t2
+                if balanced:
+                    bounds, hist = bounds2, hist2
+                break
+            frame = build_spatial_packed_frame(
+                cfg, colliders, n_substeps, mesh, axis, K, budget, r,
+                interpret,
+            )
+    return p, t, dict(K=K, budget=budget, bounds=bounds, hist=hist)

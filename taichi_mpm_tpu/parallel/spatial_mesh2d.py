@@ -162,14 +162,18 @@ def _zero_edge_ghosts(rec, pm, lcfg, s, n_shards: int, axis_i: int):
 
 
 def _migrate_axis(p: Particles, s, mesh_axis: str, cfg: SimConfig,
-                  axis_i: int, n_shards: int, W: int, budget: int):
+                  axis_i: int, n_shards: int, W: int, budget: int,
+                  dest=None):
     """One budgeted migration round along one mesh axis (the 1-D
-    machinery of parallel.spatial.migrate, per axis)."""
+    machinery of parallel.spatial.migrate, per axis). `dest` overrides
+    the uniform-pencil owner map (the load-balanced path passes owners
+    derived from its dynamic block-column bounds)."""
     from taichi_mpm_tpu.parallel.spatial import _take
 
     budget = min(budget, p.capacity // 2)
-    c = jnp.floor(p.x[:, axis_i] * cfg.inv_dx).astype(jnp.int32)
-    dest = jnp.clip(c // W, 0, n_shards - 1)
+    if dest is None:
+        c = jnp.floor(p.x[:, axis_i] * cfg.inv_dx).astype(jnp.int32)
+        dest = jnp.clip(c // W, 0, n_shards - 1)
     go_left = p.active & (dest < s)
     go_right = p.active & (dest > s)
 
@@ -500,3 +504,552 @@ def shard_pencils(p: Particles, cfg: SimConfig, mesh: Mesh, slack: float = 1.5):
         a, NamedSharding(mesh, P(("x", "y"), *([None] * (a.ndim - 1))))
     )
     return jax.tree.map(put, p_new)
+
+
+# ---------------------------------------------------------------------------
+# Load-balanced pencils: dynamic rectilinear bounds per mesh axis
+# ---------------------------------------------------------------------------
+#
+# The 2-D generalization of spatial_blocked's balanced slabs (the
+# chip-level analog of the reference's TBB work stealing,
+# /root/reference/src/mpm.cpp:919-1014): the pencil partition stays a
+# TENSOR PRODUCT of per-axis block-column splits (bounds_x (Sx+1,) x
+# bounds_y (Sy+1,), both replicated), each axis rebalanced
+# independently toward equal counts of its MARGINAL particle histogram.
+# A rectilinear partition cannot equalize arbitrary 2-D densities the
+# way a general one could, but it preserves the pencil exchange /
+# migration machinery unchanged (traced offsets + widths) and fixes the
+# common case — mass piling into a corner of the domain. Boundaries
+# move at most DMAX columns per rebalance and stay within +-r of the
+# uniform split, so the static local window covers every allowed
+# position and migration stays one-hop per axis.
+
+
+def balanced_params2d(cfg: SimConfig, shards, rx: int, ry: int):
+    """Per-axis (CB, uniform bounds) + one static local config sized
+    for the widest allowed pencil on each axis."""
+    from taichi_mpm_tpu.parallel.spatial_blocked import MINW
+
+    outs = []
+    for axis_i, (n, r) in enumerate(zip(shards, (rx, ry))):
+        assert cfg.res[axis_i] % 4 == 0
+        CB = cfg.res[axis_i] // 4
+        u = np.round(np.linspace(0.0, CB, n + 1)).astype(np.int32)
+        gaps = u[1:] - u[:-1]
+        r_max = (int(gaps.min()) - MINW) // 2
+        assert 0 < r <= r_max, (
+            f"balance radius r={r} on axis {axis_i} must be in "
+            f"[1, {r_max}] for res={cfg.res[axis_i]}, shards={n}"
+        )
+        outs.append((CB, u, int(gaps.max()) + 2 * r))
+    (CBx, ux, wx), (CBy, uy, wy) = outs
+    lcfg = dataclasses.replace(
+        cfg, res=((wx + 2) * 4, (wy + 2) * 4, cfg.res[2])
+    )
+    return CBx, CBy, ux, uy, lcfg
+
+
+def col_hists2d_from_pm(pm, bx0, by0, lcfg: SimConfig, CBx: int, CBy: int):
+    """Global (x, y) marginal block-column histograms from the page map
+    (K-scaled; psum over BOTH mesh axes)."""
+    nbp = blocked.num_blocks_padded(lcfg)
+    counts = (pm["e_arr"] - pm["s_arr"]).astype(jnp.int32)
+    per = nbp[1] * nbp[2]
+    gx = pm["ids"] // per - 1 + bx0
+    gy = (pm["ids"] // nbp[2]) % nbp[1] - 1 + by0
+    hx = jnp.zeros((CBx,), jnp.int32).at[jnp.clip(gx, 0, CBx - 1)].add(counts)
+    hy = jnp.zeros((CBy,), jnp.int32).at[jnp.clip(gy, 0, CBy - 1)].add(counts)
+    hx = jax.lax.psum(jax.lax.psum(hx, "x"), "y")
+    hy = jax.lax.psum(jax.lax.psum(hy, "x"), "y")
+    return hx, hy
+
+
+def _dest_axis_from_bounds(p: Particles, bounds, cfg: SimConfig,
+                           axis_i: int, n_shards: int):
+    c = jnp.clip(
+        jnp.floor(p.x[:, axis_i] * cfg.inv_dx).astype(jnp.int32),
+        0, cfg.res[axis_i] - 1,
+    )
+    return jnp.clip(
+        jnp.searchsorted(bounds, c // 4, side="right").astype(jnp.int32) - 1,
+        0, n_shards - 1,
+    )
+
+
+def build_spatial_balanced_mesh2d_frame(
+    cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    K: int = 1024, budget: int = 256, rx: int = 1, ry: int = 1,
+    interpret: bool = False,
+):
+    """The pencil frame over LOAD-BALANCED rectilinear bounds.
+
+    fn(p, t, bounds_x, bounds_y, hist_x, hist_y) ->
+    (p, t, bounds_x, bounds_y, hist_x, hist_y, needed, n_act):
+    bounds/hists are replicated and thread frame-to-frame (the
+    histograms feed the NEXT rebalance — one re-sort of lag, tolerated
+    by the DMAX rate limit); rebalancing runs at the frame-start resort
+    and at every drift-triggered mid-frame resort."""
+    from taichi_mpm_tpu.parallel.spatial_blocked import rebalance_bounds
+
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    shards = (Sx, Sy)
+    CBx, CBy, ux_np, uy_np, lcfg = balanced_params2d(cfg, shards, rx, ry)
+    ux = jnp.asarray(ux_np, jnp.int32)
+    uy = jnp.asarray(uy_np, jnp.int32)
+
+    def local_frame(p: Particles, t, bx, by, hx, hy):
+        sx = jax.lax.axis_index("x")
+        sy = jax.lax.axis_index("y")
+
+        def resort(p, bx, by, hx, hy):
+            bx = rebalance_bounds(hx, bx, ux, rx, Sx)
+            by = rebalance_bounds(hy, by, uy, ry, Sy)
+            dest_x = _dest_axis_from_bounds(p, bx, cfg, 0, Sx)
+            p, need_x = _migrate_axis(p, sx, "x", cfg, 0, Sx, 0, budget,
+                                      dest=dest_x)
+            dest_y = _dest_axis_from_bounds(p, by, cfg, 1, Sy)
+            p, need_y = _migrate_axis(p, sy, "y", cfg, 1, Sy, 0, budget,
+                                      dest=dest_y)
+            offx = ((bx[sx] - 1) * 4).astype(jnp.float32)
+            offy = ((by[sy] - 1) * 4).astype(jnp.float32)
+            keys = _local_keys(p, offx, offy, cfg, lcfg)
+            p, keys, _ = sort_particles_by_keys(p, keys)
+            pm = build_page_map_full(keys, lcfg, K)
+            hx, hy = col_hists2d_from_pm(pm, bx[sx], by[sy], lcfg, CBx, CBy)
+            return p, keys, pm, bx, by, hx, hy, jnp.maximum(need_x, need_y)
+
+        p, keys, pm, bx, by, hx, hy, needed0 = resort(p, bx, by, hx, hy)
+
+        def body(carry, _):
+            p, keys, pm, bx, by, hx, hy, drift, t, need_max, na = carry
+            offx = ((bx[sx] - 1) * 4).astype(jnp.float32)
+            offy = ((by[sy] - 1) * 4).astype(jnp.float32)
+            Wbx = bx[sx + 1] - bx[sx]
+            Wby = by[sy + 1] - by[sy]
+            n = p.capacity
+            pw = _round_up(n, CHUNK)
+            origin_g = pm["origin"] + jnp.stack(
+                [offx, offy, jnp.zeros_like(offx)], -1
+            )
+            pdata = prep_p2g(p, keys, cfg, cfg.base_dt, origin=origin_g)
+            tiles = p2g_blocked(pm["s_arr"], pm["e_arr"], pdata,
+                                interpret=interpret)
+            rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
+            rec = _exchange_axis(rec, pm, lcfg, "x", Sx, Wbx, 0)
+            rec = _exchange_axis(rec, pm, lcfg, "y", Sy, Wby, 1)
+            rec = _zero_edge_ghosts(rec, pm, lcfg, sx, Sx, 0)
+            rec = _zero_edge_ghosts(rec, pm, lcfg, sy, Sy, 1)
+
+            sc = shifted_colliders_xy(colliders, offx * cfg.dx, offy * cfg.dx)
+            vrec = grid_update_flat(rec, pm["ids"], lcfg, sc, t, cfg.base_dt)
+            gtiles = blocked.windows_mm(vrec, pm["nbr"])
+
+            keys2d = jnp.pad(
+                pm["slot_keys"][None, :], ((0, 0), (0, pw - n)),
+                constant_values=pm["ids"].shape[0],
+            )
+            posg = jnp.pad(pdata[13:16, :pw], ((0, 5), (0, 0)))
+            pout = g2p_blocked(
+                keys2d, posg, gtiles,
+                jnp.asarray([pm["ids"].shape[0]], jnp.int32),
+                interpret=interpret,
+            )
+            pout = pout[:, :n].T
+            v_new = jnp.where(p.active[:, None], pout[:, 0:3], 0.0)
+            b_new = jnp.where(
+                p.active[:, None, None], pout[:, 3:12].reshape(n, 3, 3), 0.0
+            )
+            p = g2p_finish(p, v_new, b_new, cfg, cfg.base_dt)
+            vmax = jnp.max(jnp.where(p.active[:, None], jnp.abs(p.v), 0.0))
+
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+
+            def do_resort(args):
+                p, bx, by, hx, hy = args
+                return resort(jax.lax.optimization_barrier(p), bx, by, hx, hy)
+
+            def keep(args):
+                p, bx, by, hx, hy = args
+                return p, keys, pm, bx, by, hx, hy, jnp.int32(0)
+
+            p, keys2, pm2, bx, by, hx, hy, needed = jax.lax.cond(
+                need, do_resort, keep, (p, bx, by, hx, hy)
+            )
+            drift = jnp.where(need, 0.0, drift)
+            return (p, keys2, pm2, bx, by, hx, hy, drift, t + cfg.base_dt,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"])), None
+
+        carry = (p, keys, pm, bx, by, hx, hy, jnp.float32(0.0), t,
+                 needed0, pm["n_act"])
+        (p, keys, pm, bx, by, hx, hy, _, t, need_max, n_act), _ = (
+            jax.lax.scan(body, carry, None, length=n_substeps)
+        )
+
+        def pmax2(v):
+            return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
+
+        return (p, t, bx, by, hx, hy, pmax2(need_max), pmax2(n_act))
+
+    pspec = P(("x", "y"))
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P(), P(), P(), P()),
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def balanced_bounds2d_host(p: Particles, cfg: SimConfig, shards,
+                           rx: int, ry: int):
+    """Host-side initial per-axis bounds: equal-count splits of the
+    marginal histograms, clamped to +-r of uniform (no rate limit)."""
+    CBx, CBy, ux, uy, _ = balanced_params2d(cfg, shards, rx, ry)
+    x = np.asarray(p.x)
+    act = np.asarray(p.active)
+    outs = []
+    for axis_i, (CB, u, n, r) in enumerate(
+        ((CBx, ux, shards[0], rx), (CBy, uy, shards[1], ry))
+    ):
+        col = np.clip(
+            (x[act, axis_i] / cfg.dx).astype(np.int64), 0,
+            cfg.res[axis_i] - 1,
+        ) // 4
+        hist = np.bincount(col, minlength=CB).astype(np.float64)
+        c = np.cumsum(hist)
+        q = np.arange(1, n) * c[-1] / n
+        ideal = np.searchsorted(c, q, side="left").astype(np.int32) + 1
+        new = np.clip(ideal, u[1:-1] - r, u[1:-1] + r)
+        if c[-1] <= 0:
+            new = u[1:-1]
+        outs.append(np.concatenate([u[:1], new, u[-1:]]).astype(np.int32))
+    return outs[0], outs[1]
+
+
+def shard_pencils_bounds(p: Particles, cfg: SimConfig, mesh: Mesh,
+                         bounds_x, bounds_y, slack: float = 1.5):
+    """shard_pencils for explicit per-axis block-column boundaries."""
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    bx = np.asarray(bounds_x, np.int64)
+    by = np.asarray(bounds_y, np.int64)
+    x = np.asarray(p.x)
+    act = np.asarray(p.active)
+    cx = np.clip((x[:, 0] / cfg.dx).astype(np.int64), 0, cfg.res[0] - 1) // 4
+    cy = np.clip((x[:, 1] / cfg.dx).astype(np.int64), 0, cfg.res[1] - 1) // 4
+    px = np.clip(np.searchsorted(bx, cx, side="right") - 1, 0, Sx - 1)
+    py = np.clip(np.searchsorted(by, cy, side="right") - 1, 0, Sy - 1)
+    pencil = px * Sy + py
+    S = Sx * Sy
+    counts = np.bincount(pencil[act], minlength=S)
+    C_local = max(8, int(np.ceil(counts.max() * slack)))
+
+    def reorganize(a):
+        a = np.asarray(a)
+        out = np.zeros((S * C_local,) + a.shape[1:], a.dtype)
+        for sh in range(S):
+            sel = act & (pencil == sh)
+            out[sh * C_local : sh * C_local + sel.sum()] = a[sel]
+        return out
+
+    arrays = {
+        f.name: reorganize(getattr(p, f.name))
+        for f in dataclasses.fields(p)
+        if f.name != "active"
+    }
+    active = np.zeros(S * C_local, bool)
+    for sh in range(S):
+        active[sh * C_local : sh * C_local + int(counts[sh])] = True
+    arrays["F"][~active] = np.eye(cfg.dim, dtype=np.float32)
+    p_new = Particles(
+        active=jnp.asarray(active),
+        **{k: jnp.asarray(v) for k, v in arrays.items()},
+    )
+    put = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(("x", "y"), *([None] * (a.ndim - 1))))
+    )
+    return jax.tree.map(put, p_new)
+
+
+def run_spatial_balanced_mesh2d_frames(
+    p, t, cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    n_frames: int = 1, K: int = 1024, budget: int = 256,
+    rx: int = 1, ry: int = 1, bounds_x=None, bounds_y=None,
+    hist_x=None, hist_y=None, interpret: bool = False,
+):
+    """Balanced-pencil frame driver with the same overflow auto-grow
+    discipline as the 1-D runners. Returns (p, t, state) — pass state's
+    bounds/hists back in to continue."""
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    CBx, CBy, _, _, _ = balanced_params2d(cfg, (Sx, Sy), rx, ry)
+    if bounds_x is None or bounds_y is None:
+        bounds_x, bounds_y = balanced_bounds2d_host(
+            jax.tree.map(np.asarray, p), cfg, (Sx, Sy), rx, ry
+        )
+    bounds_x = jnp.asarray(bounds_x, jnp.int32)
+    bounds_y = jnp.asarray(bounds_y, jnp.int32)
+    if hist_x is None:
+        hist_x = jnp.zeros((CBx,), jnp.int32)
+    if hist_y is None:
+        hist_y = jnp.zeros((CBy,), jnp.int32)
+    frame = build_spatial_balanced_mesh2d_frame(
+        cfg, colliders, n_substeps, mesh, K, budget, rx, ry, interpret
+    )
+    local_cap = p.x.shape[0] // (Sx * Sy)
+    for _ in range(n_frames):
+        while True:
+            p2, t2, bx2, by2, hx2, hy2, needed, n_act = frame(
+                p, t, bounds_x, bounds_y, hist_x, hist_y
+            )
+            needed, n_act = int(needed), int(n_act)
+            grow_budget = needed > budget
+            grow_K = n_act > K
+            if not (grow_budget or grow_K):
+                p, t = p2, t2
+                bounds_x, bounds_y, hist_x, hist_y = bx2, by2, hx2, hy2
+                break
+            if needed >= local_cap:
+                raise RuntimeError(
+                    f"shard capacity exhausted ({needed} arrivals vs "
+                    f"{local_cap} local slots); reshard with more slack"
+                )
+            if grow_budget:
+                budget = -(-2 * needed // 64) * 64
+            if grow_K:
+                K = -(-2 * n_act // 64) * 64
+            frame = build_spatial_balanced_mesh2d_frame(
+                cfg, colliders, n_substeps, mesh, K, budget, rx, ry,
+                interpret,
+            )
+    return p, t, dict(K=K, budget=budget, bounds_x=bounds_x,
+                      bounds_y=bounds_y, hist_x=hist_x, hist_y=hist_y)
+
+
+# ---------------------------------------------------------------------------
+# Packed-carry pencils: the fully-fused production substep per shard
+# ---------------------------------------------------------------------------
+
+
+def build_spatial_packed_mesh2d_frame(
+    cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    K: int = 1024, budget: int = 256, interpret: bool = False,
+):
+    """The pencil frame over the PACKED carry: each shard runs the
+    fully-fused substep (ops.packed.fused_substep_presorted) on its
+    (x, y) column, with the two sequential axis exchanges hooked in
+    between the halo merge and the grid update, two-round migration at
+    the lazy re-sorts, and GLOBAL origins in the RORG rows (local block
+    origin + both shard offsets). Same signature/returns as
+    build_spatial_mesh2d_frame; equal to the single-chip fused frame
+    (differential-tested)."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.parallel.spatial_blocked import _pack_with_origins
+
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    shards = (Sx, Sy)
+    lcfg = local_config(cfg, shards)
+    Wx = pencil_cells(cfg, shards, 0)
+    Wy = pencil_cells(cfg, shards, 1)
+    Wbx, Wby = Wx // 4, Wy // 4
+
+    def local_frame(p: Particles, t):
+        sx = jax.lax.axis_index("x")
+        sy = jax.lax.axis_index("y")
+        offx, offy = shard_offsets_cells(sx, sy, cfg, shards)
+        cap = p.x.shape[0]
+        pm_cell = [None]
+
+        def exchange(rec):
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "x", Sx, Wbx, 0)
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "y", Sy, Wby, 1)
+            rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sx, Sx, 0)
+            return _zero_edge_ghosts(rec, pm_cell[0], lcfg, sy, Sy, 1)
+
+        def resort(st):
+            p2 = packed.unpack_particles(st, cap)
+            p2, need_x = _migrate_axis(p2, sx, "x", cfg, 0, Sx, Wx, budget)
+            p2, need_y = _migrate_axis(p2, sy, "y", cfg, 1, Sy, Wy, budget)
+            keys = _local_keys(p2, offx, offy, cfg, lcfg)
+            p2, keys, _ = sort_particles_by_keys(p2, keys)
+            st, keys_pw, pm = _pack_with_origins(
+                p2, keys, (offx, offy), lcfg, K
+            )
+            return st, keys_pw, pm, jnp.maximum(need_x, need_y)
+
+        st, keys, pm, needed0 = resort(packed.pack_particles(p))
+
+        def body(carry, _):
+            st, keys, pm, drift, t, need_max, na = carry
+            pm_cell[0] = pm
+            gcolls = shifted_colliders_xy(
+                colliders, offx * cfg.dx, offy * cfg.dx
+            )
+            (st, t), n_act, vmax, _ = packed.fused_substep_presorted(
+                st, pm, t, cfg, colliders, cfg.base_dt,
+                interpret=interpret, gcfg=lcfg, grid_colliders=gcolls,
+                exchange_fn=exchange,
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+
+            def do_resort(st):
+                return resort(jax.lax.optimization_barrier(st))
+
+            def keep(st):
+                return st, keys, pm, jnp.int32(0)
+
+            st, keys, pm, needed = jax.lax.cond(need, do_resort, keep, st)
+            drift = jnp.where(need, 0.0, drift)
+            return (st, keys, pm, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, n_act)), None
+
+        carry = (st, keys, pm, jnp.float32(0.0), t, needed0, pm["n_act"])
+        (st, keys, pm, _, t, need_max, n_act), _ = jax.lax.scan(
+            body, carry, None, length=n_substeps
+        )
+        pmx = jax.lax.pmax(jax.lax.pmax(need_max, "x"), "y")
+        nax = jax.lax.pmax(jax.lax.pmax(n_act, "x"), "y")
+        return packed.unpack_particles(st, cap), t, pmx, nax
+
+    pspec = P(("x", "y"))
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P()),
+        out_specs=(p_specs, P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def build_spatial_cpic_packed_mesh2d_frame(
+    cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    K: int = 1024, budget: int = 256, near_budget: int = 4096,
+    b1: int = 0, Kr: int = 0, interpret: bool = False,
+):
+    """The PACKED-carry CPIC frame on the 2-D pencil mesh: per-shard
+    fused bulk transfers (rigid/cpic_packed) with rigid impulses psum'd
+    over BOTH mesh axes, the two-axis record exchange hooked between
+    the P2G correction and the grid update, and two-round migration at
+    the lazy re-sorts — the pencil twin of spatial_blocked.
+    build_spatial_cpic_packed_frame. Same signature/returns as
+    build_spatial_cpic_mesh2d_frame."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.parallel.spatial_blocked import _pack_with_origins
+    from taichi_mpm_tpu.rigid.cpic_packed import (
+        cpic_packed_substep_presorted,
+    )
+
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    shards = (Sx, Sy)
+    lcfg = local_config(cfg, shards)
+    Wx = pencil_cells(cfg, shards, 0)
+    Wy = pencil_cells(cfg, shards, 1)
+    Wbx, Wby = Wx // 4, Wy // 4
+
+    def local_frame(p: Particles, bodies, t):
+        sx = jax.lax.axis_index("x")
+        sy = jax.lax.axis_index("y")
+        offx, offy = shard_offsets_cells(sx, sy, cfg, shards)
+        world_off = jnp.stack(
+            [offx * cfg.dx, offy * cfg.dx, jnp.zeros_like(offx)]
+        )
+        gcolls = shifted_colliders_xy(
+            scene.colliders, offx * cfg.dx, offy * cfg.dx
+        )
+        cap = p.x.shape[0]
+        pm_cell = [None]
+
+        def exchange(rec):
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "x", Sx, Wbx, 0)
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "y", Sy, Wby, 1)
+            rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sx, Sx, 0)
+            return _zero_edge_ghosts(rec, pm_cell[0], lcfg, sy, Sy, 1)
+
+        def resort(st):
+            p2 = packed.unpack_particles(st, cap)
+            p2, need_x = _migrate_axis(p2, sx, "x", cfg, 0, Sx, Wx, budget)
+            p2, need_y = _migrate_axis(p2, sy, "y", cfg, 1, Sy, Wy, budget)
+            keys = _local_keys(p2, offx, offy, cfg, lcfg)
+            p2, keys, _ = sort_particles_by_keys(p2, keys)
+            st, keys_pw, pm = _pack_with_origins(
+                p2, keys, (offx, offy), lcfg, K
+            )
+            return st, keys_pw, pm, jnp.maximum(need_x, need_y)
+
+        st, keys, pm, needed0 = resort(packed.pack_particles(p))
+
+        def body(carry, _):
+            st, keys, pm, bodies, drift, t, need_max, na, nn, nc, nr = carry
+            pm_cell[0] = pm
+            (st, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
+                cpic_packed_substep_presorted(
+                    st, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
+                    near_budget, b1, Kr, interpret=interpret, lcfg=lcfg,
+                    world_off=world_off, axis=("x", "y"),
+                    grid_colliders=gcolls, exchange_fn=exchange,
+                )
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+
+            def do_resort(st):
+                return resort(jax.lax.optimization_barrier(st))
+
+            def keep(st):
+                return st, keys, pm, jnp.int32(0)
+
+            st, keys2, pm2, needed = jax.lax.cond(need, do_resort, keep, st)
+            drift = jnp.where(need, 0.0, drift)
+            return (st, keys2, pm2, bodies, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"]),
+                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                    jnp.maximum(nr, n_r)), None
+
+        carry = (st, keys, pm, bodies, jnp.float32(0.0), t, needed0,
+                 pm["n_act"], jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        (st, keys, pm, bodies, _, t, need_max, na, nn, nc, nr), _ = (
+            jax.lax.scan(body, carry, None, length=n_substeps)
+        )
+
+        def pmax2(v):
+            return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
+
+        return (packed.unpack_particles(st, cap), bodies, t,
+                pmax2(need_max), pmax2(na), pmax2(nn), pmax2(nc),
+                pmax2(nr))
+
+    pspec = P(("x", "y"))
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P()),  # bodies replicated
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

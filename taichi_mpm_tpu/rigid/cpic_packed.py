@@ -25,6 +25,8 @@ tests/test_cpic_packed.py differentials.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -100,10 +102,13 @@ def gather_mini(st, idx, pw):
 
 def compact_near_rigid_packed(
     st, pm, node_states, cfg: SimConfig, budget: int, b1: int = 0,
+    world_off=None,
 ):
     """compact_near_rigid_ranges on packed rows: stage 1 reads the
     sorted-particle ranges of tagged blocks straight off the page map
-    (O(K + B1)); stage 2 runs the exact stencil test on row gathers."""
+    (O(K + B1)); stage 2 runs the exact stencil test on row gathers.
+    cfg is the GRID-frame config; world_off shifts the (global) packed
+    positions into it in multichip mode."""
     nbp = blocked.num_blocks_padded(cfg)
     total = blocked.total_blocks_padded(cfg)
     K = pm["ids"].shape[0]
@@ -138,7 +143,10 @@ def compact_near_rigid_packed(
 
     pos = jnp.stack(
         [row(st, RX + k, pw)[idx1] for k in range(3)], -1
-    ) * cfg.inv_dx
+    )
+    if world_off is not None:
+        pos = pos - world_off
+    pos = pos * cfg.inv_dx
     pstates = _bits_i(row(st, RSTATES, pw)[idx1])
     nodes_arr = jnp.asarray(cfg.grid_nodes)
     base, _, _ = bspline_weights(cfg.kernel_order, pos)
@@ -160,28 +168,44 @@ def compact_near_rigid_packed(
 def cpic_packed_substep_presorted(
     st, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
     near_budget: int, b1: int = 0, Kr: int = 0, interpret: bool = False,
+    lcfg: SimConfig = None, world_off=None, axis: str = None,
+    grid_colliders=None, exchange_fn=None,
 ):
     """One coupled substep on the packed carry against a frozen
     sort/page map (the packed twin of cpic_blocked_substep_presorted;
     same stage order as the reference substep, mpm.cpp:455-520).
+
+    Multichip (shard_map) hooks mirror the pytree path: lcfg/world_off
+    put the CDF, page map and grid ops in the shard's LOCAL frame
+    (positions stay world-global; the RORG rows already include the
+    shard offset so the kernels see single-chip coordinates);
+    exchange_fn sums boundary record columns after the P2G correction;
+    axis psums the rigid impulses (transfer.cpp:195-197,578-580).
 
     Returns ((st, bodies, t+dt), n_near, n_coarse, n_r, vmax, plast)."""
     from taichi_mpm_tpu.ops import fused_pallas
     from taichi_mpm_tpu.rigid import collision as coll
     from taichi_mpm_tpu.rigid.body import advance
 
+    gcfg = lcfg if lcfg is not None else cfg
+
+    def _psum(v):
+        return jax.lax.psum(v, axis) if axis is not None else v
+
     R = bodies.num
     pw = st.shape[0] // NCH
     K = pm["ids"].shape[0]
     near_budget = min(near_budget, pw)
 
-    bodies, ncdf, n_r, xb = rigid_prologue(bodies, scene, cfg, cfg, dt, Kr)
+    bodies, ncdf, n_r, xb = rigid_prologue(
+        bodies, scene, cfg, gcfg, dt, Kr, world_off=world_off
+    )
 
     # -- CDF gather on the compacted near-rigid subset; scatter the
     # affinity rows back (rows 37-42 rebuilt from zero: leaving the
     # neighborhood clears affinity, rigid_transfer.cpp:147-149)
     idx, valid, n_near, n_coarse = compact_near_rigid_packed(
-        st, pm, ncdf, cfg, near_budget, b1
+        st, pm, ncdf, gcfg, near_budget, b1, world_off=world_off
     )
 
     def _sd_lookup(nidx, inb):
@@ -189,8 +213,10 @@ def cpic_packed_substep_presorted(
         return s, dist
 
     x_c = jnp.stack([row(st, RX + k, pw)[idx] for k in range(3)], -1)
+    if world_off is not None:
+        x_c = x_c - world_off
     st_c, bd_c, bn_c, nb_c = cdf.gather_cdf_lookup(
-        x_c, _bits_i(row(st, RSTATES, pw)[idx]), _sd_lookup, R, cfg
+        x_c, _bits_i(row(st, RSTATES, pw)[idx]), _sd_lookup, R, gcfg
     )
     zero = jnp.zeros((pw,), jnp.float32)
     states_row = zero.at[idx].set(
@@ -216,20 +242,31 @@ def cpic_packed_substep_presorted(
     )
     rec = blocked.merge_tiles_mm(tiles, pm["nbr"])
 
-    # -- CPIC P2G correction on the mini pytree (identity inner idx)
+    # -- CPIC P2G correction on the mini pytree (identity inner idx;
+    # BEFORE the halo exchange — each shard un-scatters its own
+    # particles from its own pre-exchange records)
     mini = gather_mini(st, idx, pw)
+    if world_off is not None:
+        mini = dataclasses.replace(mini, x=mini.x - world_off)
     aidx = jnp.arange(idx.shape[0], dtype=jnp.int32)
     rec, J1, tau1 = p2g_correction(
-        mini, aidx, valid, pm, ncdf, bodies, rec, cfg, dt
+        mini, aidx, valid, pm, ncdf, bodies, rec, gcfg, dt,
+        world_off=world_off,
     )
-    bodies = apply_impulses(bodies, J1, tau1)
+    if exchange_fn is not None:
+        rec = exchange_fn(rec)
+    bodies = apply_impulses(bodies, _psum(J1), _psum(tau1))
 
     if scene.colliders:
         bodies = coll.rigid_levelset_collision(
             bodies, xb, scene.bp_rid, scene.colliders, t, dt
         )
 
-    vrec = grid_update_flat(rec, pm["ids"], cfg, scene.colliders, t, dt)
+    vrec = grid_update_flat(
+        rec, pm["ids"], gcfg,
+        grid_colliders if grid_colliders is not None else scene.colliders,
+        t, dt,
+    )
     gtiles = blocked.windows_mm(vrec, pm["nbr"])
 
     # -- bulk G2P on rows + sparse correction into the output rows
@@ -242,7 +279,8 @@ def cpic_packed_substep_presorted(
         jnp.asarray([K], jnp.int32), interpret=interpret,
     )
     dv, dB, rid_last = g2p_correction(
-        mini, aidx, valid, pm, ncdf, bodies, vrec, cfg, dt
+        mini, aidx, valid, pm, ncdf, bodies, vrec, gcfg, dt,
+        world_off=world_off,
     )
     vmask = valid & mini.active
     pout = pout.at[0:3, idx].add(jnp.where(vmask, dv.T, 0.0))
@@ -272,11 +310,14 @@ def cpic_packed_substep_presorted(
            for k in range(3)]
         + [jax.lax.slice(st, ((RV + 3) * pw,), (NCH * pw,))]
     )
+    # torque arms use the ADVECTED positions (the pytree path reads p.x
+    # after g2p_finish, cpic_blocked.py penalty epilogue)
+    x_pen = jnp.stack([row(st, RX + k, pw)[idx] for k in range(3)], -1)
     J2, tau2 = accumulate_impulses(
         bodies, jnp.clip(rid_last, 0, R - 1), dvp * mini.mass[:, None],
-        mini.x, pen & (rid_last >= 0),
+        x_pen, pen & (rid_last >= 0),
     )
-    bodies = apply_impulses(bodies, J2, tau2)
+    bodies = apply_impulses(bodies, _psum(J2), _psum(tau2))
 
     if cfg.particle_collision:
         st = packed.particle_collision_packed(st, cfg, scene.colliders, t)
