@@ -14,20 +14,29 @@ Env knobs:
   SUBSTEPS=20          substeps per frame (lower for CPU smokes)
 """
 import os
+import socket
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 
-import jax
 
-try:
-    _on_tpu = jax.default_backend() == "tpu" and len(jax.devices()) >= 2
-except RuntimeError:  # axon relay down: backend init raises, fall to CPU
-    _on_tpu = False
-if not _on_tpu:
-    # single chip / CPU: the virtual-device flag must be set before jax
-    # initializes, so re-exec once with it
+def _tpu_reachable():
+    """Decide WITHOUT touching jax: initializing the axon backend with
+    the relay down can hang in its native claim-retry loop (or raise,
+    depending on failure mode) — probe the relay port like bench.py."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return False
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=3):
+            return True
+    except OSError:
+        return False
+
+
+if not _tpu_reachable():
+    # CPU: the virtual-device flag must be set before jax initializes,
+    # so re-exec once with it
     if "xla_force_host_platform_device_count" not in os.environ.get(
         "XLA_FLAGS", ""
     ):
@@ -37,6 +46,10 @@ if not _on_tpu:
         )
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import jax
+
+if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
