@@ -258,11 +258,16 @@ def migrate(p: Particles, s, axis: str, cfg: SimConfig, n_shards: int, budget: i
     both = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b], 0), recv_from_left, recv_from_right
     )
+    # compact arrivals to the FRONT so buffer position == arrival rank:
+    # slots[j] is only guaranteed free for j < n_free, so an arrival
+    # sitting at a later buffer index (e.g. the right-buffer half) must
+    # not write through slots[j >= n_free] — that's a LIVE particle
+    both = _take(both, jnp.argsort(jnp.where(both.active, 0, 1),
+                                   stable=True))
     free_order = jnp.argsort(jnp.where(p.active, 1, 0), stable=True)  # free first
     slots = free_order[: 2 * budget]
     n_free = jnp.sum(~p.active)
-    arrival_rank = jnp.cumsum(both.active) - 1
-    ok = both.active & (arrival_rank < n_free)
+    ok = both.active & (jnp.arange(2 * budget) < n_free)
     merged = jax.tree.map(
         lambda dst, src: dst.at[slots].set(
             jnp.where(ok.reshape((-1,) + (1,) * (src.ndim - 1)), src, dst[slots])

@@ -194,11 +194,15 @@ def _migrate_axis(p: Particles, s, mesh_axis: str, cfg: SimConfig,
     both = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b], 0), recv_l, recv_r
     )
+    # arrivals compacted to the front: position == rank, so the write
+    # through slots[j] only targets genuinely free slots (see
+    # parallel.spatial.migrate)
+    both = _take(both, jnp.argsort(jnp.where(both.active, 0, 1),
+                                   stable=True))
     free_order = jnp.argsort(jnp.where(p.active, 1, 0), stable=True)
     slots = free_order[: 2 * budget]
     n_free = jnp.sum(~p.active)
-    rank = jnp.cumsum(both.active) - 1
-    ok = both.active & (rank < n_free)
+    ok = both.active & (jnp.arange(2 * budget) < n_free)
     merged = jax.tree.map(
         lambda dst, src: dst.at[slots].set(
             jnp.where(ok.reshape((-1,) + (1,) * (src.ndim - 1)), src, dst[slots])

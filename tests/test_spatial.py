@@ -95,3 +95,60 @@ class TestSpatialEquivalence:
         n = int(np.asarray(ps.active).sum())
         assert total > 0
         assert n + total == 400  # conservation of accounting
+
+
+def test_migrate_arrivals_never_overwrite_residents():
+    """Regression: arrivals from the RIGHT neighbor sit in the second
+    half of the merge buffer; when the receiving shard's free-slot
+    count is below that buffer index, the merge used to write them
+    over LIVE residents (position-vs-rank mismatch) while reporting
+    zero demand — silent particle loss on a tight shard."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from taichi_mpm_tpu.core.state import empty_particles
+
+    sim = MPM(res=(32, 32), base_delta_t=1e-4, frame_dt=1e-3,
+              gravity=(0.0, -10.0))
+    cfg = sim.cfg  # 2 shards => shard 0 owns x < 0.5
+    cap, budget = 128, 32
+    rng = np.random.default_rng(0)
+    x = np.zeros((cap, 2), np.float32)
+    active = np.zeros((cap,), bool)
+    # shard 0 (slots [0:64)): 60 residents => n_free = 4 < budget
+    active[:60] = True
+    x[:60] = rng.uniform(0.05, 0.45, (60, 2)).astype(np.float32)
+    # shard 1 (slots [64:128)): 10 residents, 3 of them left-goers
+    active[64:74] = True
+    x[64:74] = rng.uniform(0.55, 0.9, (10, 2)).astype(np.float32)
+    x[64:67, 0] = 0.3
+    p = empty_particles(cap, 2)
+    mass = np.arange(1.0, cap + 1.0, dtype=np.float32)  # unique tags
+    p = dataclasses.replace(
+        p, x=jnp.asarray(x), active=jnp.asarray(active),
+        mass=jnp.asarray(mass),
+    )
+
+    mesh = _mesh(2)
+    pspec = jax.tree.map(lambda _: P("x"), p)
+    def local(pp):
+        m, n = migrate(pp, jax.lax.axis_index("x"), "x", cfg, 2,
+                       budget, count_only_overflow=False)
+        return m, n[None]
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(pspec,),
+        out_specs=(pspec, P("x")),
+        check_vma=False,
+    )
+    p2, needed = jax.jit(fn)(p)
+
+    tags0 = set(np.asarray(p.mass)[np.asarray(p.active)].tolist())
+    tags1 = set(np.asarray(p2.mass)[np.asarray(p2.active)].tolist())
+    assert int(np.asarray(needed).max()) <= budget  # no re-run needed...
+    assert tags0 == tags1  # ...so nothing may be lost or overwritten
+    # the three migrants ended up on shard 0 (slot index < 64)
+    a2 = np.asarray(p2.active)
+    x2 = np.asarray(p2.x)
+    assert (x2[a2][:, 0] < 0.5).sum() == 63
+    assert a2[:64].sum() == 63 and a2[64:].sum() == 7
