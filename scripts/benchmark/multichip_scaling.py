@@ -84,6 +84,11 @@ mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("x",))
 res_base = 128 if benchmark in (125, 8000) else 32
 res = -(-res_base // (4 * n_shards)) * (4 * n_shards)
 K0 = 1024 if benchmark in (125, 8000) else 256
+# balanced bounds need >= 1 block column of slack per shard; tiny smoke
+# grids fall back to uniform slabs instead of tripping balanced_params
+_r_max = (res // (4 * n_shards) - 2) // 2
+if _r_max < 1:
+    balanced = False
 
 sim = benchmark_cube(cells=cells, res=res, material="jelly", E=2e4, nu=0.35)
 sim._finalize()
@@ -109,7 +114,7 @@ if packed_path:
     )
 
     if balanced:
-        r = max(1, min(2, (res // (4 * n_shards) - 2) // 2))
+        r = min(2, _r_max)
         bounds = balanced_bounds_host(sim.particles, cfg, n_shards, r)
         p = shard_spatially_bounds(sim.particles, cfg, mesh, bounds,
                                    slack=2.0)
@@ -135,7 +140,7 @@ if packed_path:
         assert int(needed) <= st["budget"] and int(n_act) <= st["K"]
         return p, t
 elif balanced:
-    r = max(1, min(2, (res // (4 * n_shards) - 2) // 2))
+    r = min(2, _r_max)
     bounds = balanced_bounds_host(sim.particles, cfg, n_shards, r)
     p = shard_spatially_bounds(sim.particles, cfg, mesh, bounds, slack=2.0)
     p, t, st = run_spatial_balanced_frames(

@@ -44,7 +44,8 @@ class DistributedMPM(MPM):
       devices:    device list (default: all of `jax.devices()`)
       n_shards:   use the first n devices (default: all)
       mesh_shape: (Sx, Sy) for a 2-D pencil mesh instead of 1-D slabs
-                  (the pod shape; uniform pencils)
+                  (the pod shape; per-axis load-balanced bounds unless
+                  balanced=False or the grid is too small for slack)
       balanced:   load-balanced slab bounds (default True; falls back
                   to uniform slabs when the grid is too small to give
                   the boundaries any slack)
@@ -73,8 +74,11 @@ class DistributedMPM(MPM):
         self._interpret = jax.default_backend() != "tpu"
 
         if mesh_shape is not None:
-            # 2-D (x, y) pencil mesh — the pod shape; uniform pencils
-            # (per-axis load balancing is a slab-mesh feature so far)
+            # 2-D (x, y) pencil mesh — the pod shape. Load balancing is
+            # per-axis marginal-histogram rebalanced bounds (the 2-D
+            # generalization of the balanced slabs); when an axis's grid
+            # is too small to give the boundaries slack, fall back to
+            # uniform pencils on both axes.
             Sx, Sy = mesh_shape
             self.mesh = Mesh(
                 np.asarray(devices[: Sx * Sy]).reshape(Sx, Sy), ("x", "y")
@@ -82,13 +86,24 @@ class DistributedMPM(MPM):
             self.n_shards = Sx * Sy
             self.mesh2d = True
             self.r = None
-            self.balanced = False
+            rs = []
             for ax, S in ((0, Sx), (1, Sy)):
-                assert self.cfg.res[ax] % (4 * S) == 0, (
-                    f"res[{ax}]={self.cfg.res[ax]} must divide into whole "
-                    f"blocks per pencil (4*{S})"
-                )
-            self._bounds = self._hist = None
+                if balanced and self.cfg.res[ax] % 4 == 0:
+                    CB = self.cfg.res[ax] // 4
+                    u = np.round(np.linspace(0.0, CB, S + 1))
+                    r_max = (int((u[1:] - u[:-1]).min()) - sb.MINW) // 2
+                    rs.append(min(r_max, r) if r is not None else r_max)
+                else:
+                    rs.append(0)
+            self.balanced = min(rs) >= 1
+            self.rx, self.ry = (rs if self.balanced else (None, None))
+            if not self.balanced:
+                for ax, S in ((0, Sx), (1, Sy)):
+                    assert self.cfg.res[ax] % (4 * S) == 0, (
+                        f"res[{ax}]={self.cfg.res[ax]} must divide into "
+                        f"whole blocks per pencil (4*{S})"
+                    )
+            self._bal = None
             self._dist_sizes = None
             self._frame_cache = {}
             return
@@ -117,8 +132,7 @@ class DistributedMPM(MPM):
                 f"per shard (4*{self.n_shards}); pick a res[0] multiple "
                 f"of {4 * self.n_shards} or enable balanced slabs"
             )
-        self._bounds = None
-        self._hist = None
+        self._bal = None  # balanced-bounds frame state (bounds+hists)
         self._dist_sizes = None  # (K, budget, near, b1, Kr)
         # compiled frames keyed by (n_substeps, sizes): re-sharding
         # (sources) and budget growth re-use earlier executables
@@ -131,19 +145,38 @@ class DistributedMPM(MPM):
         mesh, leaving `slack` headroom per shard for drift/sources."""
         p = jax.tree.map(np.asarray, self.particles)
         if self.mesh2d:
-            from taichi_mpm_tpu.parallel.spatial_mesh2d import shard_pencils
+            from taichi_mpm_tpu.parallel import spatial_mesh2d as sm
 
-            self.particles = shard_pencils(
-                p, self.cfg, self.mesh, slack=self.slack
-            )
+            shards = (self.mesh.shape["x"], self.mesh.shape["y"])
+            if self.balanced:
+                bx, by = sm.balanced_bounds2d_host(
+                    p, self.cfg, shards, self.rx, self.ry
+                )
+                CBx, CBy, _, _, _ = sm.balanced_params2d(
+                    self.cfg, shards, self.rx, self.ry
+                )
+                self._bal = (
+                    jnp.asarray(bx, jnp.int32), jnp.asarray(by, jnp.int32),
+                    jnp.zeros((CBx,), jnp.int32),
+                    jnp.zeros((CBy,), jnp.int32),
+                )
+                self.particles = sm.shard_pencils_bounds(
+                    p, self.cfg, self.mesh, bx, by, slack=self.slack
+                )
+            else:
+                self.particles = sm.shard_pencils(
+                    p, self.cfg, self.mesh, slack=self.slack
+                )
         elif self.balanced:
-            self._bounds = jnp.asarray(
+            bounds = jnp.asarray(
                 sb.balanced_bounds_host(p, self.cfg, self.n_shards, self.r),
                 jnp.int32,
             )
-            self._hist = jnp.zeros((self.cfg.res[0] // 4,), jnp.int32)
+            self._bal = (
+                bounds, jnp.zeros((self.cfg.res[0] // 4,), jnp.int32)
+            )
             self.particles = sb.shard_spatially_bounds(
-                p, self.cfg, self.mesh, np.asarray(self._bounds),
+                p, self.cfg, self.mesh, np.asarray(bounds),
                 slack=self.slack,
             )
         else:
@@ -191,15 +224,26 @@ class DistributedMPM(MPM):
         if self.mesh2d:
             from taichi_mpm_tpu.parallel import spatial_mesh2d as sm
 
-            return sm.local_config(
-                self.cfg, (self.mesh.shape["x"], self.mesh.shape["y"])
-            )
+            shards = (self.mesh.shape["x"], self.mesh.shape["y"])
+            if self.balanced:
+                return sm.balanced_params2d(
+                    self.cfg, shards, self.rx, self.ry
+                )[4]
+            return sm.local_config(self.cfg, shards)
         if self.balanced:
             return sb.balanced_params(self.cfg, self.n_shards, self.r)[2]
         return sb.local_config(self.cfg, self.n_shards)
 
     def _build_dist_jit(self, n_substeps: int):
-        key = (n_substeps, self.bodies is not None, tuple(self._dist_sizes))
+        # the key must pin everything baked into the compiled frame:
+        # sizes, but also the config (a source can add a new material
+        # via with_materials) and the collider/rigid-scene identities
+        # (add_collider between steps must not reuse a stale frame)
+        key = (
+            n_substeps, self.bodies is not None,
+            tuple(self._dist_sizes), self.cfg,
+            tuple(id(c) for c in self.colliders), id(self.rigid_scene),
+        )
         if key in self._frame_cache:
             return self._frame_cache[key]
         fn = self._build_dist_jit_uncached(n_substeps)
@@ -214,10 +258,26 @@ class DistributedMPM(MPM):
             from taichi_mpm_tpu.parallel import spatial_mesh2d as sm
 
             if self.bodies is not None:
+                if self.balanced and self.fused:
+                    return sm.build_spatial_cpic_packed_balanced_mesh2d_frame(
+                        cfg, self.rigid_scene, n_substeps, self.mesh, K,
+                        budget, near, b1, Kr, self.rx, self.ry, **kw)
+                if self.balanced:
+                    raise ValueError(
+                        "TMT_FUSED=0 routes CPIC pencil scenes to the "
+                        "uniform frame; pass balanced=False (or re-enable "
+                        "the fused path) for unfused CPIC on a 2-D mesh"
+                    )
                 build = (sm.build_spatial_cpic_packed_mesh2d_frame
                          if self.fused else sm.build_spatial_cpic_mesh2d_frame)
                 return build(cfg, self.rigid_scene, n_substeps, self.mesh,
                              K, budget, near, b1, Kr, **kw)
+            if self.balanced:
+                build = (sm.build_spatial_packed_balanced_mesh2d_frame
+                         if self.fused
+                         else sm.build_spatial_balanced_mesh2d_frame)
+                return build(cfg, tuple(self.colliders), n_substeps,
+                             self.mesh, K, budget, self.rx, self.ry, **kw)
             build = (sm.build_spatial_packed_mesh2d_frame
                      if self.fused else sm.build_spatial_mesh2d_frame)
             return build(cfg, tuple(self.colliders), n_substeps, self.mesh,
@@ -235,6 +295,12 @@ class DistributedMPM(MPM):
                     budget, near, b1, Kr, **kw,
                 )
             # unfused fallback: pytree CPIC (uniform slabs only)
+            if self.cfg.res[0] % (4 * self.n_shards) != 0:
+                raise ValueError(
+                    "TMT_FUSED=0 routes CPIC scenes to the uniform-slab "
+                    f"pytree frame: res[0]={self.cfg.res[0]} must divide "
+                    f"into whole blocks per shard (4*{self.n_shards})"
+                )
             return sb.build_spatial_cpic_frame(
                 cfg, scene, n_substeps, self.mesh, self.axis, K, budget,
                 near, b1, Kr, **kw,
@@ -280,14 +346,14 @@ class DistributedMPM(MPM):
                 args += (self.bodies,)
             args += (self.t,)
             if bal_state:
-                args += (self._bounds, self._hist)
+                args += tuple(self._bal)
             out = self._frame_jit(*args)
             out = list(out)
             p2 = out.pop(0)
             b2 = out.pop(0) if cpic else None
             t2 = out.pop(0)
             if bal_state:
-                bounds2, hist2 = out.pop(0), out.pop(0)
+                bal2 = tuple(out.pop(0) for _ in self._bal)
             needed, n_act = int(out.pop(0)), int(out.pop(0))
             n_near = int(out.pop(0)) if (cpic and out) else 0
             n_coarse = int(out.pop(0)) if (cpic and out) else 0
@@ -317,7 +383,7 @@ class DistributedMPM(MPM):
                 if cpic:
                     self.bodies = b2
                 if bal_state:
-                    self._bounds, self._hist = bounds2, hist2
+                    self._bal = bal2
                 break
             self._dist_sizes = [K, budget, near, max(b1, near), Kr]
             self._frame_jit = self._build_dist_jit(n_sub)

@@ -1017,9 +1017,9 @@ def run_spatial_cpic_packed_balanced_frames(
     for _ in range(n_frames):
         while True:
             (p2, b2, t2, bounds2, hist2, needed, n_act, n_near, n_coarse,
-             _) = frame(p, bodies, t, bounds, hist)
+             n_r) = frame(p, bodies, t, bounds, hist)
             needed, n_act = int(needed), int(n_act)
-            n_near, n_coarse = int(n_near), int(n_coarse)
+            n_near, n_coarse, n_r = int(n_near), int(n_coarse), int(n_r)
             grow = False
             if needed > budget:
                 if needed >= local_cap:
@@ -1038,12 +1038,15 @@ def run_spatial_cpic_packed_balanced_frames(
             if n_coarse > b1:
                 b1 = -(-2 * n_coarse // 64) * 64
                 grow = True
+            if Kr > 0 and n_r > Kr:  # record-sparse CDF overflow
+                Kr = -(-2 * n_r // 64) * 64
+                grow = True
             if not grow:
                 p, bodies, t, bounds, hist = p2, b2, t2, bounds2, hist2
                 break
             frame = build()
     return p, bodies, t, dict(K=K, budget=budget, near_budget=near_budget,
-                              b1=b1, bounds=bounds, hist=hist)
+                              b1=b1, Kr=Kr, bounds=bounds, hist=hist)
 
 
 # ---------------------------------------------------------------------------

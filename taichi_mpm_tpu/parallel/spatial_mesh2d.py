@@ -1057,3 +1057,401 @@ def build_spatial_cpic_packed_mesh2d_frame(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def build_spatial_cpic_packed_balanced_mesh2d_frame(
+    cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    K: int = 1024, budget: int = 256, near_budget: int = 4096,
+    b1: int = 0, Kr: int = 0, rx: int = 1, ry: int = 1,
+    interpret: bool = False,
+):
+    """The PACKED CPIC pencil frame over LOAD-BALANCED rectilinear
+    bounds — the full matrix cell: fused bulk transfers per shard,
+    impulses psum'd over both axes, AND per-axis marginal-histogram
+    rebalancing at the lazy re-sorts (the chip-level work-stealing
+    analog, mpm.cpp:919-1014, in both decomposition axes).
+
+    fn(p, bodies, t, bx, by, hx, hy) -> (p, bodies, t, bx, by, hx, hy,
+    needed, n_act, n_near, n_coarse, n_r)."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.parallel.spatial_blocked import (
+        _pack_with_origins,
+        rebalance_bounds,
+    )
+    from taichi_mpm_tpu.rigid.cpic_packed import (
+        cpic_packed_substep_presorted,
+    )
+
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    shards = (Sx, Sy)
+    CBx, CBy, ux_np, uy_np, lcfg = balanced_params2d(cfg, shards, rx, ry)
+    ux = jnp.asarray(ux_np, jnp.int32)
+    uy = jnp.asarray(uy_np, jnp.int32)
+
+    def local_frame(p: Particles, bodies, t, bx, by, hx, hy):
+        sx = jax.lax.axis_index("x")
+        sy = jax.lax.axis_index("y")
+        cap = p.x.shape[0]
+        pm_cell = [None, None, None]  # [pm, Wbx, Wby]
+
+        def exchange(rec):
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "x", Sx,
+                                 pm_cell[1], 0)
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "y", Sy,
+                                 pm_cell[2], 1)
+            rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sx, Sx, 0)
+            return _zero_edge_ghosts(rec, pm_cell[0], lcfg, sy, Sy, 1)
+
+        def offs_of(bx, by):
+            return (((bx[sx] - 1) * 4).astype(jnp.float32),
+                    ((by[sy] - 1) * 4).astype(jnp.float32))
+
+        def resort(st, bx, by, hx, hy):
+            bx = rebalance_bounds(hx, bx, ux, rx, Sx)
+            by = rebalance_bounds(hy, by, uy, ry, Sy)
+            p2 = packed.unpack_particles(st, cap)
+            dest_x = _dest_axis_from_bounds(p2, bx, cfg, 0, Sx)
+            p2, need_x = _migrate_axis(p2, sx, "x", cfg, 0, Sx, 0, budget,
+                                       dest=dest_x)
+            dest_y = _dest_axis_from_bounds(p2, by, cfg, 1, Sy)
+            p2, need_y = _migrate_axis(p2, sy, "y", cfg, 1, Sy, 0, budget,
+                                       dest=dest_y)
+            offx, offy = offs_of(bx, by)
+            keys = _local_keys(p2, offx, offy, cfg, lcfg)
+            p2, keys, _ = sort_particles_by_keys(p2, keys)
+            st, keys_pw, pm = _pack_with_origins(
+                p2, keys, (offx, offy), lcfg, K
+            )
+            hx, hy = col_hists2d_from_pm(pm, bx[sx], by[sy], lcfg, CBx, CBy)
+            return st, keys_pw, pm, bx, by, hx, hy, jnp.maximum(
+                need_x, need_y
+            )
+
+        st, keys, pm, bx, by, hx, hy, needed0 = resort(
+            packed.pack_particles(p), bx, by, hx, hy
+        )
+
+        def body(carry, _):
+            (st, keys, pm, bx, by, hx, hy, bodies, drift, t, need_max,
+             na, nn, nc, nr) = carry
+            offx, offy = offs_of(bx, by)
+            world_off = jnp.stack(
+                [offx * cfg.dx, offy * cfg.dx, jnp.zeros_like(offx)]
+            )
+            gcolls = shifted_colliders_xy(
+                scene.colliders, offx * cfg.dx, offy * cfg.dx
+            )
+            pm_cell[0] = pm
+            pm_cell[1] = bx[sx + 1] - bx[sx]
+            pm_cell[2] = by[sy + 1] - by[sy]
+            (st, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
+                cpic_packed_substep_presorted(
+                    st, keys, pm, bodies, t, cfg, scene, cfg.base_dt,
+                    near_budget, b1, Kr, interpret=interpret, lcfg=lcfg,
+                    world_off=world_off, axis=("x", "y"),
+                    grid_colliders=gcolls, exchange_fn=exchange,
+                )
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+
+            def do_resort(args):
+                st, bx, by, hx, hy = args
+                return resort(
+                    jax.lax.optimization_barrier(st), bx, by, hx, hy
+                )
+
+            def keep(args):
+                st, bx, by, hx, hy = args
+                return st, keys, pm, bx, by, hx, hy, jnp.int32(0)
+
+            st, keys2, pm2, bx, by, hx, hy, needed = jax.lax.cond(
+                need, do_resort, keep, (st, bx, by, hx, hy)
+            )
+            drift = jnp.where(need, 0.0, drift)
+            return (st, keys2, pm2, bx, by, hx, hy, bodies, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, pm["n_act"]),
+                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                    jnp.maximum(nr, n_r)), None
+
+        carry = (st, keys, pm, bx, by, hx, hy, bodies, jnp.float32(0.0),
+                 t, needed0, pm["n_act"], jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0))
+        (st, keys, pm, bx, by, hx, hy, bodies, _, t, need_max, na, nn,
+         nc, nr), _ = jax.lax.scan(body, carry, None, length=n_substeps)
+
+        def pmax2(v):
+            return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
+
+        return (packed.unpack_particles(st, cap), bodies, t, bx, by, hx,
+                hy, pmax2(need_max), pmax2(na), pmax2(nn), pmax2(nc),
+                pmax2(nr))
+
+    pspec = P(("x", "y"))
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P(), P(), P(), P(), P()),
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                   P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_spatial_cpic_packed_balanced_mesh2d_frames(
+    p, bodies, t, cfg: SimConfig, scene, n_substeps: int, mesh: Mesh,
+    n_frames: int = 1, K: int = 1024, budget: int = 256,
+    near_budget: int = 4096, b1: int = 1024, Kr: int = 0,
+    rx: int = 1, ry: int = 1, bounds_x=None, bounds_y=None,
+    hist_x=None, hist_y=None, interpret: bool = False,
+):
+    """Driver with the standard overflow auto-grow. Returns
+    (p, bodies, t, state); thread state's bounds/hists to continue."""
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    CBx, CBy, _, _, _ = balanced_params2d(cfg, (Sx, Sy), rx, ry)
+    if bounds_x is None or bounds_y is None:
+        bounds_x, bounds_y = balanced_bounds2d_host(
+            jax.tree.map(np.asarray, p), cfg, (Sx, Sy), rx, ry
+        )
+    bounds_x = jnp.asarray(bounds_x, jnp.int32)
+    bounds_y = jnp.asarray(bounds_y, jnp.int32)
+    if hist_x is None:
+        hist_x = jnp.zeros((CBx,), jnp.int32)
+    if hist_y is None:
+        hist_y = jnp.zeros((CBy,), jnp.int32)
+
+    def build():
+        return build_spatial_cpic_packed_balanced_mesh2d_frame(
+            cfg, scene, n_substeps, mesh, K, budget, near_budget, b1,
+            Kr, rx, ry, interpret,
+        )
+
+    frame = build()
+    local_cap = p.x.shape[0] // (Sx * Sy)
+    for _ in range(n_frames):
+        while True:
+            (p2, b2, t2, bx2, by2, hx2, hy2, needed, n_act, n_near,
+             n_coarse, n_r) = frame(p, bodies, t, bounds_x, bounds_y,
+                                    hist_x, hist_y)
+            needed, n_act = int(needed), int(n_act)
+            n_near, n_coarse, n_r = int(n_near), int(n_coarse), int(n_r)
+            grow = False
+            if needed > budget:
+                if needed >= local_cap:
+                    raise RuntimeError(
+                        f"shard capacity exhausted ({needed} arrivals vs "
+                        f"{local_cap} local slots); reshard with more slack"
+                    )
+                budget, grow = -(-2 * needed // 64) * 64, True
+            if n_act > K:
+                K, grow = -(-2 * n_act // 64) * 64, True
+            if n_near > near_budget:
+                near_budget, grow = -(-2 * n_near // 64) * 64, True
+            if n_coarse > b1:
+                b1, grow = -(-2 * n_coarse // 64) * 64, True
+            if Kr > 0 and n_r > Kr:  # record-sparse CDF overflow
+                Kr, grow = -(-2 * n_r // 64) * 64, True
+            if not grow:
+                p, bodies, t = p2, b2, t2
+                bounds_x, bounds_y, hist_x, hist_y = bx2, by2, hx2, hy2
+                break
+            frame = build()
+    return p, bodies, t, dict(
+        K=K, budget=budget, near_budget=near_budget, b1=b1, Kr=Kr,
+        bounds_x=bounds_x, bounds_y=bounds_y, hist_x=hist_x,
+        hist_y=hist_y,
+    )
+
+
+def build_spatial_packed_balanced_mesh2d_frame(
+    cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    K: int = 1024, budget: int = 256, rx: int = 1, ry: int = 1,
+    interpret: bool = False,
+):
+    """The PACKED (fully-fused) pencil frame over LOAD-BALANCED
+    rectilinear bounds — the plain-scene twin of
+    build_spatial_cpic_packed_balanced_mesh2d_frame: per-axis
+    marginal-histogram rebalancing at the lazy re-sorts (the chip-level
+    work-stealing analog, mpm.cpp:919-1014) with each shard running
+    ops.packed.fused_substep_presorted on its dynamic pencil.
+
+    fn(p, t, bx, by, hx, hy) -> (p, t, bx, by, hx, hy, needed, n_act)."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.parallel.spatial_blocked import (
+        _pack_with_origins,
+        rebalance_bounds,
+    )
+
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    shards = (Sx, Sy)
+    CBx, CBy, ux_np, uy_np, lcfg = balanced_params2d(cfg, shards, rx, ry)
+    ux = jnp.asarray(ux_np, jnp.int32)
+    uy = jnp.asarray(uy_np, jnp.int32)
+
+    def local_frame(p: Particles, t, bx, by, hx, hy):
+        sx = jax.lax.axis_index("x")
+        sy = jax.lax.axis_index("y")
+        cap = p.x.shape[0]
+        pm_cell = [None, None, None]  # [pm, Wbx, Wby]
+
+        def exchange(rec):
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "x", Sx,
+                                 pm_cell[1], 0)
+            rec = _exchange_axis(rec, pm_cell[0], lcfg, "y", Sy,
+                                 pm_cell[2], 1)
+            rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sx, Sx, 0)
+            return _zero_edge_ghosts(rec, pm_cell[0], lcfg, sy, Sy, 1)
+
+        def offs_of(bx, by):
+            return (((bx[sx] - 1) * 4).astype(jnp.float32),
+                    ((by[sy] - 1) * 4).astype(jnp.float32))
+
+        def resort(st, bx, by, hx, hy):
+            bx = rebalance_bounds(hx, bx, ux, rx, Sx)
+            by = rebalance_bounds(hy, by, uy, ry, Sy)
+            p2 = packed.unpack_particles(st, cap)
+            dest_x = _dest_axis_from_bounds(p2, bx, cfg, 0, Sx)
+            p2, need_x = _migrate_axis(p2, sx, "x", cfg, 0, Sx, 0, budget,
+                                       dest=dest_x)
+            dest_y = _dest_axis_from_bounds(p2, by, cfg, 1, Sy)
+            p2, need_y = _migrate_axis(p2, sy, "y", cfg, 1, Sy, 0, budget,
+                                       dest=dest_y)
+            offx, offy = offs_of(bx, by)
+            keys = _local_keys(p2, offx, offy, cfg, lcfg)
+            p2, keys, _ = sort_particles_by_keys(p2, keys)
+            st, keys_pw, pm = _pack_with_origins(
+                p2, keys, (offx, offy), lcfg, K
+            )
+            hx, hy = col_hists2d_from_pm(pm, bx[sx], by[sy], lcfg, CBx, CBy)
+            return st, keys_pw, pm, bx, by, hx, hy, jnp.maximum(
+                need_x, need_y
+            )
+
+        st, keys, pm, bx, by, hx, hy, needed0 = resort(
+            packed.pack_particles(p), bx, by, hx, hy
+        )
+
+        def body(carry, _):
+            st, keys, pm, bx, by, hx, hy, drift, t, need_max, na = carry
+            offx, offy = offs_of(bx, by)
+            pm_cell[0] = pm
+            pm_cell[1] = bx[sx + 1] - bx[sx]
+            pm_cell[2] = by[sy + 1] - by[sy]
+            gcolls = shifted_colliders_xy(
+                colliders, offx * cfg.dx, offy * cfg.dx
+            )
+            (st, t), n_act, vmax, _ = packed.fused_substep_presorted(
+                st, pm, t, cfg, colliders, cfg.base_dt,
+                interpret=interpret, gcfg=lcfg, grid_colliders=gcolls,
+                exchange_fn=exchange,
+            )
+            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
+            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+
+            def do_resort(args):
+                st, bx, by, hx, hy = args
+                return resort(
+                    jax.lax.optimization_barrier(st), bx, by, hx, hy
+                )
+
+            def keep(args):
+                st, bx, by, hx, hy = args
+                return st, keys, pm, bx, by, hx, hy, jnp.int32(0)
+
+            st, keys2, pm2, bx, by, hx, hy, needed = jax.lax.cond(
+                need, do_resort, keep, (st, bx, by, hx, hy)
+            )
+            drift = jnp.where(need, 0.0, drift)
+            return (st, keys2, pm2, bx, by, hx, hy, drift, t,
+                    jnp.maximum(need_max, needed),
+                    jnp.maximum(na, n_act)), None
+
+        carry = (st, keys, pm, bx, by, hx, hy, jnp.float32(0.0), t,
+                 needed0, pm["n_act"])
+        (st, keys, pm, bx, by, hx, hy, _, t, need_max, n_act), _ = (
+            jax.lax.scan(body, carry, None, length=n_substeps)
+        )
+
+        def pmax2(v):
+            return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
+
+        return (packed.unpack_particles(st, cap), t, bx, by, hx, hy,
+                pmax2(need_max), pmax2(n_act))
+
+    pspec = P(("x", "y"))
+    p_specs = jax.tree.map(
+        lambda _: pspec,
+        Particles(
+            x=0, v=0, F=0, C=0, aux=0, mass=0, vol=0, mat=0, params=0,
+            active=0, states=0, bdist=0, bnormal=0, near_b=0,
+        ),
+    )
+    fn = shard_map(
+        local_frame,
+        mesh=mesh,
+        in_specs=(p_specs, P(), P(), P(), P(), P()),
+        out_specs=(p_specs, P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def run_spatial_packed_balanced_mesh2d_frames(
+    p, t, cfg: SimConfig, colliders, n_substeps: int, mesh: Mesh,
+    n_frames: int = 1, K: int = 1024, budget: int = 256,
+    rx: int = 1, ry: int = 1, bounds_x=None, bounds_y=None,
+    hist_x=None, hist_y=None, interpret: bool = False,
+):
+    """run_spatial_balanced_mesh2d_frames over the packed frame."""
+    Sx, Sy = mesh.shape["x"], mesh.shape["y"]
+    CBx, CBy, _, _, _ = balanced_params2d(cfg, (Sx, Sy), rx, ry)
+    if bounds_x is None or bounds_y is None:
+        bounds_x, bounds_y = balanced_bounds2d_host(
+            jax.tree.map(np.asarray, p), cfg, (Sx, Sy), rx, ry
+        )
+    bounds_x = jnp.asarray(bounds_x, jnp.int32)
+    bounds_y = jnp.asarray(bounds_y, jnp.int32)
+    if hist_x is None:
+        hist_x = jnp.zeros((CBx,), jnp.int32)
+    if hist_y is None:
+        hist_y = jnp.zeros((CBy,), jnp.int32)
+
+    def build():
+        return build_spatial_packed_balanced_mesh2d_frame(
+            cfg, colliders, n_substeps, mesh, K, budget, rx, ry, interpret
+        )
+
+    frame = build()
+    local_cap = p.x.shape[0] // (Sx * Sy)
+    for _ in range(n_frames):
+        while True:
+            p2, t2, bx2, by2, hx2, hy2, needed, n_act = frame(
+                p, t, bounds_x, bounds_y, hist_x, hist_y
+            )
+            needed, n_act = int(needed), int(n_act)
+            grow = False
+            if needed > budget:
+                if needed >= local_cap:
+                    raise RuntimeError(
+                        f"shard capacity exhausted ({needed} arrivals vs "
+                        f"{local_cap} local slots); reshard with more slack"
+                    )
+                budget, grow = -(-2 * needed // 64) * 64, True
+            if n_act > K:
+                K, grow = -(-2 * n_act // 64) * 64, True
+            if not grow:
+                p, t = p2, t2
+                bounds_x, bounds_y, hist_x, hist_y = bx2, by2, hx2, hy2
+                break
+            frame = build()
+    return p, t, dict(K=K, budget=budget, bounds_x=bounds_x,
+                      bounds_y=bounds_y, hist_x=hist_x, hist_y=hist_y)

@@ -144,3 +144,47 @@ def test_distributed_mesh2d_matches_single_chip_fused():
     np.testing.assert_allclose(
         xr[np.lexsort(xr.T)], xs[np.lexsort(xs.T)], atol=1e-5
     )
+
+
+def test_distributed_cpic_mesh2d_matches_single_chip():
+    """A coupled scene through DistributedMPM on a balanced 2-D pencil
+    mesh == the single-chip pytree CPIC blocked frame."""
+    from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_frame
+    from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+    def scene(cls, **kw):
+        rng = np.random.default_rng(3)
+        sim = cls(res=(32, 32, 32), base_delta_t=2e-4, frame_dt=12e-4,
+                  gravity=(0, -10.0, 0), penalty=1e3, **kw)
+        pos = rng.uniform(0.25, 0.75, size=(400, 3)).astype(np.float32)
+        sim.add_particles("jelly", pos=pos, vel=(1.0, -0.5, 0), E=1e4,
+                          nu=0.3, density=1000)
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.22, half_v=0.22, axis=1),
+            scripted_position=lambda t: (0.5, 0.4, 0.5),
+            scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+            codimensional=True, friction=0.2,
+        )
+        return sim
+
+    sim = scene(DistributedMPM, mesh_shape=(2, 2))
+    assert sim.mesh2d and sim.balanced  # res 32 / S 2 leaves r_max = 1
+    sim.step()
+    xs = sim.positions()
+    b2 = sim.bodies
+
+    ref = scene(MPM)
+    ref._finalize()
+    p1, b1, t1, *_ = cpic_blocked_frame(
+        ref.particles, ref.bodies, jnp.float32(0.0), ref.cfg,
+        ref.rigid_scene, ref.cfg.base_dt, 6, K=512, near_budget=512,
+        b1=1024, interpret=True,
+    )
+    xr = np.asarray(p1.x)[np.asarray(p1.active)]
+    assert xr.shape == xs.shape
+    np.testing.assert_allclose(
+        xr[np.lexsort(xr.T)], xs[np.lexsort(xs.T)], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b1.vel), np.asarray(b2.vel), atol=1e-5
+    )

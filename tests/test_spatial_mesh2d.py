@@ -304,3 +304,146 @@ def test_cpic_packed_pencils_match_single_chip():
     np.testing.assert_allclose(
         np.asarray(b1.omega), np.asarray(b2.omega), atol=1e-5
     )
+
+
+def test_cpic_packed_balanced_pencils_match_single_chip():
+    """The full matrix cell — PACKED CPIC pencils over per-axis
+    balanced bounds: a corner-clustered coupled scene stays equal to
+    the single-chip CPIC blocked path while both axes' boundaries bias
+    toward the cluster."""
+    from taichi_mpm_tpu.parallel.spatial_mesh2d import (
+        balanced_bounds2d_host,
+        run_spatial_cpic_packed_balanced_mesh2d_frames,
+        shard_pencils_bounds,
+    )
+    from taichi_mpm_tpu.rigid.cpic_blocked import cpic_blocked_frame
+    from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+    rng = np.random.default_rng(13)
+    sim = MPM(res=(64, 64, 32), base_delta_t=2e-4,
+              gravity=(0, 0, -4.0), penalty=1e3)
+    n = 500
+    x0 = np.empty((n, 3), np.float32)
+    x0[:, 0] = rng.uniform(0.05, 0.22, n)  # low-x, low-y corner
+    x0[:, 1] = rng.uniform(0.05, 0.22, n)
+    x0[:, 2] = rng.uniform(0.4, 0.7, n)
+    sim.add_particles("jelly", pos=x0, vel=(2.0, 1.5, 0.0), E=1e4,
+                      nu=0.3, density=1000)
+    sim.add_particles(
+        "rigid", mesh=plate_mesh(half_u=0.15, half_v=0.15, axis=0),
+        scripted_position=lambda t: (0.32, 0.15, 0.55),
+        scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+        codimensional=True, friction=0.2,
+    )
+    sim._finalize()
+    cfg, scene, b0 = sim.cfg, sim.rigid_scene, sim.bodies
+    n_sub, n_frames = 6, 3
+
+    p1, b1, t1 = sim.particles, b0, jnp.float32(0.0)
+    for _ in range(n_frames):
+        p1, b1, t1, _, n_near, n_coarse, _, _, _ = cpic_blocked_frame(
+            p1, b1, t1, cfg, scene, cfg.base_dt, n_sub, K=512,
+            near_budget=512, b1=1024, interpret=True,
+        )
+        assert int(n_near) <= 512 and int(n_coarse) <= 1024
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    r = 3  # CB=16 per axis, S=2: gap 8 -> r_max 3
+    bx0, by0 = balanced_bounds2d_host(sim.particles, cfg, (2, 2), r, r)
+    assert bx0[1] < 8 and by0[1] < 8
+    ps = shard_pencils_bounds(sim.particles, cfg, mesh, bx0, by0,
+                              slack=2.5)
+    ps2, b2, t2, state = run_spatial_cpic_packed_balanced_mesh2d_frames(
+        ps, b0, jnp.float32(0.0), cfg, scene, n_sub, mesh,
+        n_frames=n_frames, K=512, budget=128, near_budget=512, b1=1024,
+        rx=r, ry=r, interpret=True,
+    )
+
+    a1 = np.asarray(p1.active)
+    a2 = np.asarray(ps2.active)
+    assert a1.sum() == a2.sum()
+    x1 = np.asarray(p1.x)[a1]
+    x2 = np.asarray(ps2.x)[a2]
+    o1, o2 = np.lexsort(x1.T), np.lexsort(x2.T)
+    np.testing.assert_allclose(x1[o1], x2[o2], atol=1e-5)
+    v1 = np.asarray(p1.v)[a1][o1]
+    v2 = np.asarray(ps2.v)[a2][o2]
+    np.testing.assert_allclose(v1, v2, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(b1.vel), np.asarray(b2.vel), atol=1e-5
+    )
+    bx = np.asarray(state["bounds_x"])
+    by = np.asarray(state["bounds_y"])
+    assert bx[0] == 0 and bx[-1] == 16 and by[0] == 0 and by[-1] == 16
+    assert bx[1] <= 7 and by[1] <= 7  # biased toward the corner
+
+
+def test_packed_balanced_pencils_match_and_rebalance():
+    """The PACKED pencil frame over per-axis balanced bounds: the
+    corner-clustered drifting scene must stay equal to the single-chip
+    FUSED packed frame while both axes' boundaries bias toward the
+    cluster (the fused twin of test_balanced_pencils_match_and_
+    rebalance)."""
+    from taichi_mpm_tpu.ops import packed
+    from taichi_mpm_tpu.parallel.spatial_mesh2d import (
+        balanced_bounds2d_host,
+        run_spatial_packed_balanced_mesh2d_frames,
+        shard_pencils_bounds,
+    )
+
+    rng = np.random.default_rng(11)
+    sim = MPM(res=(64, 64, 32), base_delta_t=2e-4,
+              gravity=(0.0, 0.0, -10.0))
+    n = 800
+    x0 = np.empty((n, 3), np.float32)
+    x0[:, 0] = rng.uniform(0.03, 0.20, n)
+    x0[:, 1] = rng.uniform(0.03, 0.20, n)
+    x0[:, 2] = rng.uniform(0.3, 0.7, n)
+    sim.add_particles("jelly", pos=x0, density=1000.0, E=1e4, nu=0.3)
+    sim._finalize()
+    cfg = sim.cfg
+    v = np.zeros((n, 3), np.float32)
+    v[:, 0] = 3.0
+    v[:, 1] = 2.0
+    p = dataclasses.replace(sim.particles, v=jnp.asarray(v))
+    colliders = (
+        levelset.box_domain(
+            lo=(0.02, 0.02, 0.05), hi=(0.98, 0.98, 0.95), friction=0.3
+        ),
+    )
+    n_sub, n_frames = 6, 3
+
+    p_ref = dataclasses.replace(sim.particles, v=jnp.asarray(v))
+    t = jnp.float32(0.0)
+    Kref = -(-min(1024, total_blocks_padded(cfg)) // 64) * 64
+    for _ in range(n_frames):
+        p_ref, t, _, _, _ = packed.packed_frame(
+            p_ref, t, cfg, colliders, cfg.base_dt, n_sub, Kref,
+            interpret=True, fused=True,
+        )
+    a_ref = np.asarray(p_ref.active)
+    xr = np.asarray(p_ref.x)[a_ref]
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    r = 3  # CB=16 per axis, S=2: uniform gap 8 -> r_max = 3
+    bx0, by0 = balanced_bounds2d_host(p, cfg, (2, 2), r, r)
+    assert bx0[1] < 8 and by0[1] < 8
+    ps = shard_pencils_bounds(p, cfg, mesh, bx0, by0, slack=2.5)
+    ps2, t2, state = run_spatial_packed_balanced_mesh2d_frames(
+        ps, jnp.float32(0.0), cfg, colliders, n_sub, mesh,
+        n_frames=n_frames, K=512, budget=128, rx=r, ry=r, interpret=True,
+    )
+    a2 = np.asarray(ps2.active)
+    xs = np.asarray(ps2.x)[a2]
+    assert xr.shape == xs.shape  # zero loss
+    o1, o2 = np.lexsort(xr.T), np.lexsort(xs.T)
+    np.testing.assert_allclose(xr[o1], xs[o2], atol=1e-5)
+    v1 = np.asarray(p_ref.v)[a_ref][o1]
+    v2 = np.asarray(ps2.v)[a2][o2]
+    np.testing.assert_allclose(v1, v2, atol=5e-4)
+    bx = np.asarray(state["bounds_x"])
+    by = np.asarray(state["bounds_y"])
+    assert bx[0] == 0 and bx[-1] == 16 and by[0] == 0 and by[-1] == 16
+    assert bx[1] <= 7 and by[1] <= 7  # biased toward the cluster
