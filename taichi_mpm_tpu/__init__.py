@@ -14,10 +14,10 @@ from taichi_mpm_tpu.core.state import Particles, empty_particles
 
 def __getattr__(name):
     # lazy: parallel.driver pulls in the shard_map machinery
-    if name == "DistributedMPM":
-        from taichi_mpm_tpu.parallel.driver import DistributedMPM
+    if name in ("DistributedMPM", "DistributedAsyncMPM"):
+        from taichi_mpm_tpu.parallel import driver
 
-        return DistributedMPM
+        return getattr(driver, name)
     raise AttributeError(name)
 
 
@@ -27,6 +27,7 @@ __all__ = [
     "MPM",
     "AsyncMPM",
     "DistributedMPM",
+    "DistributedAsyncMPM",
     "SimConfig",
     "Particles",
     "empty_particles",

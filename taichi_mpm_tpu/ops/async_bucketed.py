@@ -56,13 +56,12 @@ from taichi_mpm_tpu.ops.packed import (
 MAXLEV = 6  # levels 0..MAXLEV (dt spans a 64x range)
 
 
-def slot_levels(st, keys, pm, cfg: SimConfig, unit_dt: float,
-                strength_dt_mul=1.0, cfl_dt_mul=1.0):
-    """Per-slot POT dt level from the per-particle CFL limits
-    (update_dt_limits, async_mpm.cpp:90-254): level = floor(log2(
-    min-particle-limit / unit)), clamped to [0, MAXLEV], then neighbor
-    monotonicity (a block exceeds its neighbors by at most one level)
-    via MAXLEV min-with-neighbor+1 sweeps."""
+def slot_level_base(st, keys, pm, cfg: SimConfig, unit_dt: float,
+                    strength_dt_mul=1.0, cfl_dt_mul=1.0):
+    """Per-slot POT dt level BEFORE neighbor monotonicity: level =
+    floor(log2(min-particle-limit / unit)), clamped to [0, MAXLEV],
+    from the per-particle CFL limits (update_dt_limits,
+    async_mpm.cpp:90-254)."""
     pw = st.shape[0] // NCH
     K = pm["ids"].shape[0]
     act = row(st, RACT, pw) > 0.5
@@ -84,23 +83,41 @@ def slot_levels(st, keys, pm, cfg: SimConfig, unit_dt: float,
     # empty slots follow the max level (async_mpm.cpp:146-150)
     slot_lim = jnp.where(jnp.isfinite(slot_lim), slot_lim, jnp.inf)
     ratio = jnp.maximum(slot_lim / unit_dt, 1.0)
-    lev = jnp.clip(
+    return jnp.clip(
         jnp.floor(jnp.log2(ratio)).astype(jnp.int32), 0, MAXLEV
     )
-    # neighbor monotonicity: lev_k <= min over 27-neighborhood + 1
+
+
+def monotonic_sweep(lev, pm):
+    """One Jacobi iteration of neighbor monotonicity: every slot's
+    level drops to min over its 27-neighborhood + 1 (inactive
+    neighbors count as MAXLEV). The multichip frame interleaves these
+    with cross-shard boundary-plane exchanges."""
+    K = pm["ids"].shape[0]
+    m = lev
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
+                if (ox, oy, oz) == (1, 1, 1):
+                    continue
+                n = nbr_at(pm["nbr"], ox, oy, oz)
+                ln = jnp.where(
+                    n < K, lev[jnp.minimum(n, K - 1)], MAXLEV
+                )
+                m = jnp.minimum(m, ln + 1)
+    return m
+
+
+def slot_levels(st, keys, pm, cfg: SimConfig, unit_dt: float,
+                strength_dt_mul=1.0, cfl_dt_mul=1.0):
+    """Per-slot POT dt level from the per-particle CFL limits
+    (update_dt_limits, async_mpm.cpp:90-254), then neighbor
+    monotonicity (a block exceeds its neighbors by at most one level)
+    via MAXLEV min-with-neighbor+1 sweeps."""
+    lev = slot_level_base(st, keys, pm, cfg, unit_dt,
+                          strength_dt_mul, cfl_dt_mul)
     for _ in range(MAXLEV):
-        m = lev
-        for ox in range(3):
-            for oy in range(3):
-                for oz in range(3):
-                    if (ox, oy, oz) == (1, 1, 1):
-                        continue
-                    n = nbr_at(pm["nbr"], ox, oy, oz)
-                    ln = jnp.where(
-                        n < K, lev[jnp.minimum(n, K - 1)], MAXLEV
-                    )
-                    m = jnp.minimum(m, ln + 1)
-        lev = m
+        lev = monotonic_sweep(lev, pm)
     return lev
 
 
@@ -144,14 +161,27 @@ def _scatter_rows(st, nch, idx, mini, commit):
 def bucket_substep(
     st, backup_st, keys, pm, lev, L: int, t, cfg: SimConfig, colliders,
     dt, budget: int, K_ctx: int, interpret: bool = False,
-    fused: bool = False,
+    fused: bool = False, lcfg: SimConfig = None, grid_colliders=None,
+    exchange_fn=None, ctx_extend_fn=None,
 ):
     """Advance the level-L bucket by dt: gather its context (bucket
     blocks + 27-neighbors, slower neighbors from backup), run the
     packed substep on the mini-state, commit only bucket particles,
-    refresh their backup (async_mpm.cpp:256-373)."""
+    refresh their backup (async_mpm.cpp:256-373).
+
+    Multichip (shard_map) hooks, mirroring ops.packed.
+    fused_substep_presorted: `lcfg` is the shard-LOCAL grid config
+    (keys/page map live in the local block frame; positions and RORG
+    origins stay global); `grid_colliders` the locally-shifted scene
+    colliders; `exchange_fn(rec, mini_pm)` sums the boundary record
+    columns of the MINI page map between halo merge and grid update;
+    `ctx_extend_fn(in_bucket)` ORs in local blocks adjacent to a
+    NEIGHBOR shard's in-bucket blocks across the slab boundary (the
+    cross-shard half of the 27-dilation). Multichip requires
+    fused=True (the production path)."""
     pw = st.shape[0] // NCH
     K = pm["ids"].shape[0]
+    gcfg = cfg if lcfg is None else lcfg
 
     in_bucket = lev == L
     # context slots: bucket + its 27-neighborhood
@@ -165,7 +195,9 @@ def bucket_substep(
                 ctx = ctx | jnp.where(
                     n < K, in_bucket[jnp.minimum(n, K - 1)], False
                 )
-    ctx = ctx & (pm["ids"] < blocked.total_blocks_padded(cfg))
+    if ctx_extend_fn is not None:
+        ctx = ctx | ctx_extend_fn(in_bucket)
+    ctx = ctx & (pm["ids"] < blocked.total_blocks_padded(gcfg))
 
     idx, valid, n_sel = _bucket_ranges(pm, ctx, budget, pw)
 
@@ -188,13 +220,24 @@ def bucket_substep(
     mini = jax.lax.dynamic_update_slice(mini, act_row, (RACT * B,))
 
     mini_keys = jnp.where(
-        valid, keys[idx], blocked.total_blocks_padded(cfg)
+        valid, keys[idx], blocked.total_blocks_padded(gcfg)
     )
-    mini_pm = packed.build_page_map_packed(mini_keys, cfg, K_ctx)
-    (mini_new, _), n_act, _, _ = packed.packed_substep_presorted(
-        mini, mini_keys, mini_pm, t, cfg, colliders, dt,
-        interpret=interpret, fused=fused,
-    )
+    mini_pm = packed.build_page_map_packed(mini_keys, gcfg, K_ctx)
+    if lcfg is not None:
+        assert fused, "multichip bucketed runs the fused substep only"
+        (mini_new, _), n_act, _, _ = packed.fused_substep_presorted(
+            mini, mini_pm, t, cfg, colliders, dt, interpret=interpret,
+            gcfg=lcfg, grid_colliders=grid_colliders,
+            exchange_fn=(
+                (lambda rec: exchange_fn(rec, mini_pm))
+                if exchange_fn is not None else None
+            ),
+        )
+    else:
+        (mini_new, _), n_act, _, _ = packed.packed_substep_presorted(
+            mini, mini_keys, mini_pm, t, cfg, colliders, dt,
+            interpret=interpret, fused=fused,
+        )
 
     commit = valid & in_bucket[jnp.minimum(pm["slot_keys"][idx], K - 1)] & (
         pm["slot_keys"][idx] < K

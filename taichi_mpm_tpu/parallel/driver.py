@@ -388,3 +388,114 @@ class DistributedMPM(MPM):
             self._dist_sizes = [K, budget, near, max(b1, near), Kr]
             self._frame_jit = self._build_dist_jit(n_sub)
         return self.particles
+
+
+class DistributedAsyncMPM(DistributedMPM):
+    """The per-block bucketed adaptive-dt scheduler (AsyncMPM
+    per_block=True, the reference's async_mpm simulation type,
+    async_mpm.cpp:426-427) over a 1-D slab device mesh
+    (parallel/async_spatial): POT dt level per grid block with
+    CROSS-SHARD neighbor monotonicity, lockstep global tick loop,
+    budgeted bucket advances per shard.
+
+    Plain (non-CPIC) scenes on uniform slabs; base_delta_t acts as the
+    max dt and unit_delta_t as the POT unit, like AsyncMPM. All budgets
+    (per-level context, context page map, main page map, migration)
+    follow the standard overflow discipline: demand is reported pmax'd,
+    the driver re-jits larger and re-runs the frame from the intact
+    pre-frame state.
+    """
+
+    def __init__(self, res, *args, unit_delta_t: float = 1e-6,
+                 strength_dt_mul: float = 1.0, cfl_dt_mul: float = 1.0,
+                 budgets=None, K_ctx: Optional[int] = None, **kw):
+        kw.setdefault("balanced", False)  # bucketed frames: uniform slabs
+        assert not kw["balanced"], (
+            "bucketed async runs on uniform slabs (balanced bounds are a "
+            "uniform-dt frame feature so far)"
+        )
+        super().__init__(res, *args, **kw)
+        assert not self.mesh2d, "bucketed async is slab-mesh (1-D) only"
+        self.unit_delta_t = unit_delta_t
+        self.strength_dt_mul = strength_dt_mul
+        self.cfl_dt_mul = cfl_dt_mul
+        self.update_counter = 0
+        self._async_sizes = None
+        self._budgets0 = budgets  # optional explicit initial sizes
+        self._K_ctx0 = K_ctx
+
+    def _build_async_jit(self):
+        from taichi_mpm_tpu.ops.async_bucketed import MAXLEV
+        from taichi_mpm_tpu.parallel.async_spatial import (
+            build_bucketed_spatial_frame,
+        )
+
+        assert self.bodies is None, "adaptive dt + CPIC not supported yet"
+        m = max(
+            1, round(self.frame_dt / (self.unit_delta_t * (1 << MAXLEV)))
+        )
+        self._async_unit = self.frame_dt / (m * (1 << MAXLEV))
+        K, budgets, K_ctx, mig = self._async_sizes
+        return build_bucketed_spatial_frame(
+            self.cfg, tuple(self.colliders), self.frame_dt,
+            self._async_unit, self.mesh, self.axis, K, tuple(budgets),
+            K_ctx, mig, self.strength_dt_mul, self.cfl_dt_mul,
+            interpret=self._interpret,
+        )
+
+    def step(self, frame_dt: Optional[float] = None):
+        from taichi_mpm_tpu.ops.async_bucketed import MAXLEV
+
+        if self.particles is None or self._pending:
+            self._finalize()
+        assert frame_dt is None or frame_dt == self.frame_dt, (
+            "frame_dt is baked into the bucketed tick loop"
+        )
+        from taichi_mpm_tpu.ops import packed
+
+        local_cap = self.particles.capacity // self.n_shards
+        pw = packed.padded_width(local_cap)
+        if self._async_sizes is None:
+            K = _round64(min(
+                sb.blocked.total_blocks_padded(self._lcfg()),
+                max(256, self._active_block_cap()),
+            ))
+            b0 = (list(self._budgets0) if self._budgets0 is not None
+                  else [min(pw, 1024)] * (MAXLEV + 1))
+            self._async_sizes = [
+                K, b0, self._K_ctx0 or 256,
+                _round64(max(64, local_cap // 64)),
+            ]
+            self._frame_jit = None
+        if self._frame_jit is None:
+            self._frame_jit = self._build_async_jit()
+
+        nbt = sb.blocked.total_blocks_padded(self._lcfg())
+        while True:
+            (p2, t2, nup, nselmax, namax, namain, needed,
+             nsorts) = self._frame_jit(self.particles, self.t)
+            K, budgets, K_ctx, mig = self._async_sizes
+            nselmax = np.asarray(nselmax)
+            grow = False
+            for L in range(MAXLEV + 1):
+                if int(nselmax[L]) > budgets[L] and budgets[L] < pw:
+                    budgets[L] = min(pw, _round64(2 * int(nselmax[L])))
+                    grow = True
+            if int(namax) > K_ctx:
+                K_ctx, grow = _round64(2 * int(namax)), True
+            if int(namain) > K and K < nbt:
+                K, grow = min(nbt, _round64(2 * int(namain))), True
+            if int(needed) > mig:
+                if int(needed) >= local_cap:
+                    raise RuntimeError(
+                        f"shard capacity exhausted ({int(needed)} arrivals "
+                        f"vs {local_cap} local slots); raise slack="
+                    )
+                mig, grow = _round64(2 * int(needed)), True
+            if not grow:
+                self.particles, self.t = p2, t2
+                self.update_counter += int(nup)
+                break
+            self._async_sizes = [K, budgets, K_ctx, mig]
+            self._frame_jit = self._build_async_jit()
+        return self.particles
