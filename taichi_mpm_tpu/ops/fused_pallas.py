@@ -80,15 +80,22 @@ from taichi_mpm_tpu.ops.rows import (
     RX,
 )
 
-# In-kernel shape for the per-particle material math. "rows8" reshapes
-# each (1, CHUNK) component row to (8, CHUNK//8) (full-ish sublane
-# utilization); "rows1" keeps rows as-is (1/8 utilization, but no
-# relayout); "rows1d" flattens to (CHUNK,).
-PHYS_SHAPE = "rows8"
+# In-kernel shape for the per-particle material math. "rows4" reshapes
+# each (1, CHUNK) component row to (4, CHUNK//4) = (4, 128): 4/8
+# sublane utilization, and the ONLY multi-sublane retiling Mosaic's
+# layout inference accepts on hardware — (8, CHUNK//8) = (8, 64) is an
+# "unsupported shape cast" (lane dim must stay 128); measured on v5e.
+# "rows1" keeps rows as-is (1/8 utilization, no relayout); "rows1d"
+# flattens to (CHUNK,). Element order inside the physics shape is
+# immaterial: all material math is elementwise per particle and
+# _fp(_tp(x)) == x.
+PHYS_SHAPE = "rows4"
 
 
 def _tp(r):
     """(1, CHUNK) component row -> physics shape."""
+    if PHYS_SHAPE == "rows4":
+        return r.reshape(4, CHUNK // 4)
     if PHYS_SHAPE == "rows8":
         return r.reshape(8, CHUNK // 8)
     if PHYS_SHAPE == "rows1d":
@@ -349,8 +356,12 @@ def _g2p_fused_kernel(
     acc = window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t)
     tile, vmax, plast = _finish_tile(xt, acc, dt, cfg)
     out_ref[:] = tile
-    vmax_ref[0, 0] = vmax
-    plast_ref[0, 0] = plast
+    # vmax/plast live in SMEM whole-array refs: Mosaic rejects (1, 1)
+    # VMEM blocks over a (1, nwin) array (last block dim must divide 128
+    # or equal nwin), and these are scalar-per-program side outputs.
+    q = pl.program_id(0)
+    vmax_ref[0, q] = vmax
+    plast_ref[0, q] = plast
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -388,10 +399,8 @@ def g2p_fused(keys2d, st2d, gtiles, nb_dims, dt, cfg, interpret: bool = False):
         out_specs=[
             pl.BlockSpec((NCH, CHUNK), lambda q, *_: (0, q),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda q, *_: (0, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda q, *_: (0, q),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((GTROWS, GTLANES), jnp.float32),
