@@ -579,7 +579,34 @@ class MPM:
     # -- time stepping --------------------------------------------------------
 
     def step(self, frame_dt: Optional[float] = None):
-        """Advance one frame (reference MPM::step, mpm.cpp:428-450)."""
+        """Advance one frame (reference MPM::step, mpm.cpp:428-450).
+
+        The fused Pallas kernels are hardware-validated here at their
+        FIRST compile: if Mosaic rejects them on this backend, the
+        solver warns and transparently re-jits the unfused packed
+        pipeline instead of crashing the scene — the analog of the
+        reference's `optimized` flag gating its SIMD path at runtime
+        (/root/reference/src/mpm.cpp:510-514). The frame jit is
+        all-or-nothing, so the pre-frame state is intact on failure.
+        """
+        try:
+            return self._step_impl(frame_dt)
+        except Exception as e:  # noqa: BLE001 — re-raised unless Mosaic
+            if not self.fused or "Mosaic" not in repr(e):
+                raise
+            import warnings
+
+            warnings.warn(
+                "fused Pallas kernels failed to compile on this backend "
+                "(falling back to the unfused packed pipeline, as if "
+                f"TMT_FUSED=0): {repr(e).splitlines()[0][:200]}"
+            )
+            self.fused = False
+            self._frame_jit = None
+            self._pcarry = None
+            return self._step_impl(frame_dt)
+
+    def _step_impl(self, frame_dt: Optional[float] = None):
         if self.particles is None or self._pending:
             self._finalize()
         fdt = frame_dt or self.frame_dt

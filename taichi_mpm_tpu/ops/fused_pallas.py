@@ -23,9 +23,15 @@ through VMEM ONCE per kernel:
     (mpm.h:111-112).
 
 Per-particle physics shape: a (1, CHUNK) row computes at 1/8 VPU
-sublane utilization, so component rows are reshaped to (8, CHUNK//8)
-for the heavy material math (``_tp``/``_fp``); the reshape is a cheap
-sublane swizzle next to the SVD/polar iteration chains it feeds.
+sublane utilization, so the material math runs in SLAB SPACE — the
+whole (n, CHUNK) tile is reshaped ONCE to (n*4, 128) and each
+component row becomes a contiguous (4, 128) slab slice (4/8 sublane
+utilization). Mosaic's layout inference rejects the per-row
+alternative (reshaping a (1, CHUNK) VALUE SLICE lowers to
+vector<512xf32> -> vector<4x128xf32>, "unsupported shape cast" —
+BENCH_r02), while the whole-tile cast is legal both directions and
+bitwise-exact on matmul-produced values; measured on v5e,
+scripts/benchmark/probe_mosaic{,2,3}.py.
 
 The kernels consume the packed flat carry through a (48, Pw) reshape —
 a pure bitcast, since both sides are row-major and the Pallas calls
@@ -80,44 +86,38 @@ from taichi_mpm_tpu.ops.rows import (
     RX,
 )
 
-# In-kernel shape for the per-particle material math. "rows4" reshapes
-# each (1, CHUNK) component row to (4, CHUNK//4) = (4, 128): 4/8
-# sublane utilization, and the ONLY multi-sublane retiling Mosaic's
-# layout inference accepts on hardware — (8, CHUNK//8) = (8, 64) is an
-# "unsupported shape cast" (lane dim must stay 128); measured on v5e.
-# "rows1" keeps rows as-is (1/8 utilization, no relayout); "rows1d"
-# flattens to (CHUNK,). Element order inside the physics shape is
-# immaterial: all material math is elementwise per particle and
-# _fp(_tp(x)) == x.
-PHYS_SHAPE = "rows4"
+# Slab space: one whole-tile tpu.reshape (n, CHUNK) <-> (n*SB, 128)
+# turns every (1, CHUNK) component row into a contiguous (SB, 128)
+# slab — 4/8 sublane utilization for the material math with NO per-row
+# shape casts (Mosaic rejects those on value slices; module docstring).
+SB = CHUNK // 128
 
 
-def _tp(r):
-    """(1, CHUNK) component row -> physics shape."""
-    if PHYS_SHAPE == "rows4":
-        return r.reshape(4, CHUNK // 4)
-    if PHYS_SHAPE == "rows8":
-        return r.reshape(8, CHUNK // 8)
-    if PHYS_SHAPE == "rows1d":
-        return r.reshape(CHUNK)
-    return r
+def _to_slabs(xt):
+    """(n, CHUNK) tile value -> (n*SB, 128) slab view."""
+    return xt.reshape(xt.shape[0] * SB, 128)
 
 
-def _fp(a):
-    """Physics shape -> (1, CHUNK) component row."""
-    return a.reshape(1, CHUNK)
+def _slab(x192, r):
+    """Component row r of a slab view: a contiguous (SB, 128) slice."""
+    return x192[SB * r : SB * (r + 1), :]
 
 
-def _phys_state(xt):
-    """Material-model operands of a (48, CHUNK) state tile, in physics
-    shape: (F, C, aux, vol, mass, params, matf)."""
-    F = tuple(_tp(xt[RF + i : RF + i + 1, :]) for i in range(9))
-    C = tuple(_tp(xt[RC + i : RC + i + 1, :]) for i in range(9))
-    aux = _tp(xt[RAUX : RAUX + 1, :])
-    vol = _tp(xt[RVOL : RVOL + 1, :])
-    mass = _tp(xt[RMASS : RMASS + 1, :])
-    params = tuple(_tp(xt[RPAR + i : RPAR + i + 1, :]) for i in range(8))
-    matf = _tp(xt[RMATF : RMATF + 1, :])
+def _from_slabs(slabs):
+    """Component slabs [(SB, 128) x n] -> (n, CHUNK) tile value."""
+    return jnp.concatenate(slabs, 0).reshape(len(slabs), CHUNK)
+
+
+def _phys_state(x192):
+    """Material-model operands of a (48*SB, 128) state slab view:
+    (F, C, aux, vol, mass, params, matf), each (SB, 128)."""
+    F = tuple(_slab(x192, RF + i) for i in range(9))
+    C = tuple(_slab(x192, RC + i) for i in range(9))
+    aux = _slab(x192, RAUX)
+    vol = _slab(x192, RVOL)
+    mass = _slab(x192, RMASS)
+    params = tuple(_slab(x192, RPAR + i) for i in range(8))
+    matf = _slab(x192, RMATF)
     return F, C, aux, vol, mass, params, matf
 
 
@@ -126,8 +126,9 @@ def _build_pd(xt, dt, cfg):
     [mv(3), mass, A(9), pos_local(3)] — same values as
     ops.packed.prep_packed (transfer.cpp:452-454 affine fusion)."""
     invD = inv_D(cfg.kernel_order)
-    F, C, aux, vol, mass, params, matf = _phys_state(xt)
-    act = _tp(xt[RACT : RACT + 1, :] > 0.5)
+    x192 = _to_slabs(xt)
+    F, C, aux, vol, mass, params, matf = _phys_state(x192)
+    act = _slab(x192, RACT) > 0.5
 
     force = cforms.dispatch_force(cfg.active_materials, matf, F, aux, params, vol)
     cf_scale = invD * cfg.inv_dx * dt
@@ -136,19 +137,19 @@ def _build_pd(xt, dt, cfg):
         for c, f in zip(C, force)
     )
     massm = jnp.where(act, mass, 0.0)
-    v = [_tp(xt[RV + k : RV + k + 1, :]) for k in range(3)]
+    v = [_slab(x192, RV + k) for k in range(3)]
     if cfg.particle_gravity:
         v = [v[k] + cfg.gravity[k] * dt for k in range(3)]
 
-    px = xt[RX : RX + 1, :] * cfg.inv_dx - xt[RORG : RORG + 1, :]
-    py = xt[RX + 1 : RX + 2, :] * cfg.inv_dx - xt[RORG + 1 : RORG + 2, :]
-    pz = xt[RX + 2 : RX + 3, :] * cfg.inv_dx - xt[RORG + 2 : RORG + 3, :]
+    pos = [
+        _slab(x192, RX + k) * cfg.inv_dx - _slab(x192, RORG + k)
+        for k in range(3)
+    ]
 
-    rows = [_fp(massm * v[0]), _fp(massm * v[1]), _fp(massm * v[2]),
-            _fp(massm)]
-    rows += [_fp(a) for a in A]
-    rows += [px, py, pz]
-    return jnp.concatenate(rows, 0)
+    rows = [massm * v[0], massm * v[1], massm * v[2], massm]
+    rows += list(A)
+    rows += pos
+    return _from_slabs(rows)
 
 
 def _finish_tile(xt, acc, dt, cfg):
@@ -157,12 +158,12 @@ def _finish_tile(xt, acc, dt, cfg):
     ops.packed.finish_packed (same formulas/order). Returns
     (new tile (48, CHUNK), vmax scalar, plast count scalar)."""
     invD = inv_D(cfg.kernel_order)
-    act1 = xt[RACT : RACT + 1, :] > 0.5
-    v_new = [jnp.where(act1, acc[k : k + 1, :], 0.0) for k in range(3)]
+    x192 = _to_slabs(xt)
+    a64 = _to_slabs(acc)
+    act1 = _slab(x192, RACT) > 0.5
+    v_new = [jnp.where(act1, _slab(a64, k), 0.0) for k in range(3)]
 
-    actp = _tp(act1)
-    B = tuple(jnp.where(actp, _tp(acc[3 + k : 4 + k, :]), 0.0)
-              for k in range(9))
+    B = tuple(jnp.where(act1, _slab(a64, 3 + k), 0.0) for k in range(9))
 
     if cfg.apic:
         sym_w = 1.0 - cfg.rpic_damping
@@ -181,20 +182,19 @@ def _finish_tile(xt, acc, dt, cfg):
     eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
     cdg = tuple(e - k * b for e, b in zip(eye, B))
 
-    F, _, aux, _, _, params, matf = _phys_state(xt)
+    F, _, aux, _, _, params, matf = _phys_state(x192)
     F_new, aux_new, cnt = cforms.dispatch_plasticity(
         cfg.active_materials, matf, F, cdg, aux, params, dt
     )
-    F_new1 = [_fp(f) for f in F_new]
 
     hi = [(cfg.res[kk] - cfg.clamp_eps) * cfg.dx for kk in range(3)]
     x_new = [
-        jnp.clip(xt[RX + kk : RX + kk + 1, :] + dt * v_new[kk], 0.0, hi[kk])
+        jnp.clip(_slab(x192, RX + kk) + dt * v_new[kk], 0.0, hi[kk])
         for kk in range(3)
     ]
 
     finite = jnp.ones_like(act1)
-    for r in x_new + v_new + F_new1:
+    for r in x_new + v_new + list(F_new):
         finite = finite & jnp.isfinite(r)
     act_new = act1 & finite
     dead = act1 & ~finite  # newly deactivated: scrub the slot
@@ -203,24 +203,23 @@ def _finish_tile(xt, acc, dt, cfg):
     def sel(new, old, cleanup=0.0):
         return jnp.where(keep, new, jnp.where(dead, cleanup, old))
 
-    rows = [sel(x_new[kk], xt[RX + kk : RX + kk + 1, :]) for kk in range(3)]
-    rows += [sel(v_new[kk], xt[RV + kk : RV + kk + 1, :]) for kk in range(3)]
-    rows += [sel(F_new1[i], xt[RF + i : RF + i + 1, :], cleanup=eye[i])
+    rows = [sel(x_new[kk], _slab(x192, RX + kk)) for kk in range(3)]
+    rows += [sel(v_new[kk], _slab(x192, RV + kk)) for kk in range(3)]
+    rows += [sel(F_new[i], _slab(x192, RF + i), cleanup=eye[i])
              for i in range(9)]
-    rows += [sel(_fp(c), xt[RC + i : RC + i + 1, :])
-             for i, c in enumerate(C_new)]
-    rows += [jnp.where(keep, _fp(aux_new), xt[RAUX : RAUX + 1, :])]
-    rows += [xt[RMASS : RMASS + 1, :], xt[RVOL : RVOL + 1, :],
-             xt[RMAT : RMAT + 1, :]]  # mat (bitcast) passthrough
-    rows += [xt[RPAR + i : RPAR + i + 1, :] for i in range(8)]
+    rows += [sel(c, _slab(x192, RC + i)) for i, c in enumerate(C_new)]
+    rows += [jnp.where(keep, aux_new, _slab(x192, RAUX))]
+    rows += [_slab(x192, RMASS), _slab(x192, RVOL),
+             _slab(x192, RMAT)]  # mat (bitcast) passthrough
+    rows += [_slab(x192, RPAR + i) for i in range(8)]
     rows += [act_new.astype(jnp.float32)]
-    rows += [xt[r : r + 1, :] for r in range(37, NCH)]
-    tile = jnp.concatenate(rows, 0)
+    rows += [_slab(x192, r) for r in range(37, NCH)]
+    tile = _from_slabs(rows)
 
     vmax = jnp.float32(0.0)
     for v in v_new:
         vmax = jnp.maximum(vmax, jnp.max(jnp.where(act_new, jnp.abs(v), 0.0)))
-    plast = jnp.sum(jnp.where(_tp(act_new.astype(jnp.int32)) > 0, cnt, 0))
+    plast = jnp.sum(jnp.where(act_new, cnt, 0))
     return tile, vmax, plast
 
 

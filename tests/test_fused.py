@@ -125,3 +125,67 @@ def test_fused_adaptive_frame():
     assert a1.sum() == a2.sum()
     assert np.allclose(np.asarray(p1.x)[a1], np.asarray(p2.x)[a2], atol=1e-5)
     assert np.allclose(np.asarray(p1.v)[a1], np.asarray(p2.v)[a2], atol=1e-4)
+
+
+def test_fused_mosaic_fallback(monkeypatch, recwarn):
+    """MPM.step survives a Mosaic compile failure of the fused path:
+    it must warn, flip to the unfused pipeline, and produce the frame
+    (VERDICT r2 task 3 — the reference's `optimized` flag semantics,
+    /root/reference/src/mpm.cpp:510-514). The Mosaic error is simulated
+    at the frame-build layer so the test runs on CPU."""
+    import warnings
+
+    from taichi_mpm_tpu.core.solver import MPM
+
+    sim = MPM(res=(32, 32, 32), base_delta_t=2e-4, frame_dt=6e-4)
+    rng = np.random.default_rng(0)
+    sim.add_particles(
+        "jelly", pos=rng.uniform(0.3, 0.7, (300, 3)).astype(np.float32),
+        E=1e4, nu=0.3, density=1000,
+    )
+    sim.fused = True
+    real_build = MPM._build_jit
+
+    def fake_build(self, n_substeps):
+        if self.fused:
+            def boom(*a, **k):
+                raise RuntimeError(
+                    "Mosaic failed to compile TPU kernel: "
+                    "infer-vector-layout: unsupported shape cast"
+                )
+
+            return boom
+        return real_build(self, n_substeps)
+
+    monkeypatch.setattr(MPM, "_build_jit", fake_build)
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        p = sim.step()
+    assert sim.fused is False
+    assert any("unfused" in str(w.message) for w in ws)
+    a = np.asarray(p.active)
+    assert a.sum() == 300
+    assert np.all(np.isfinite(np.asarray(p.x)[a]))
+
+
+def test_fused_non_mosaic_errors_propagate(monkeypatch):
+    """Unrelated frame errors must NOT be swallowed by the fallback."""
+    from taichi_mpm_tpu.core.solver import MPM
+
+    sim = MPM(res=(32, 32, 32), base_delta_t=2e-4, frame_dt=6e-4)
+    rng = np.random.default_rng(1)
+    sim.add_particles(
+        "jelly", pos=rng.uniform(0.3, 0.7, (50, 3)).astype(np.float32),
+        E=1e4, nu=0.3, density=1000,
+    )
+    sim.fused = True
+
+    def fake_build(self, n_substeps):
+        def boom(*a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+        return boom
+
+    monkeypatch.setattr(MPM, "_build_jit", fake_build)
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        sim.step()

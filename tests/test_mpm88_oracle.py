@@ -11,6 +11,7 @@ advection).
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -229,3 +230,80 @@ def test_inactive_particles_do_not_contribute():
     total = float(jnp.sum(grid[..., -1]))
     expect = float(jnp.sum(np.asarray(p.mass[:n])))
     np.testing.assert_allclose(total, expect, rtol=1e-5)
+
+
+# -- golden trajectory vs the COMPILED reference 88-liner -------------------
+#
+# tests/fixtures/mpm88_ref/golden.txt is produced by compiling the
+# ACTUAL /root/reference/mls-mpm88.cpp (its advance()/add_object()
+# verbatim, against a minimal taichi.h shim — see harness.cpp) and
+# dumping positions at frames 0/10/20/40 (10 substeps of dt=1e-4 per
+# frame). The test reruns the same scene through THIS framework's MPM
+# class from the fixture's exact initial particles and asserts an
+# envelope match (per-particle trajectories diverge chaotically over
+# hundreds of substeps; the envelope — COM, extent, quantiles — is the
+# stable observable; BASELINE.md correctness row).
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "mpm88_ref",
+    "golden.txt",
+)
+
+
+def _load_golden():
+    txt = open(FIXTURE).read().splitlines()
+    frames = {}
+    i = 0
+    while i < len(txt):
+        tok = txt[i].split()
+        assert tok[0] == "FRAME"
+        k, n = int(tok[1]), int(tok[2])
+        frames[k] = np.array(
+            [[float(v) for v in l.split()] for l in txt[i + 1 : i + 1 + n]],
+            np.float32,
+        )
+        i += 1 + n
+    return frames
+
+
+def test_mpm88_matches_compiled_reference():
+    golden = _load_golden()
+    x0 = golden[0]
+    n = x0.shape[0]
+
+    sim = MPM(
+        res=(N, N), base_delta_t=1e-4, gravity=(0.0, -200.0),
+        frame_dt=1e-3,
+    )
+    sim.add_particles(
+        "snow", pos=x0, mass=1.0, vol=1.0,
+        youngs_modulus=1e4, poisson_ratio=0.2, hardening=10.0,
+    )
+    for c in _mpm88_colliders():
+        sim.add_collider(c)
+
+    # Observables: the center of mass pins gravity/BC/bulk-stress
+    # integration to ~1e-3 over 400 float32 substeps; early-frame
+    # deciles pin the distribution before floor contact. The 88-liner's
+    # startup pressure spike ejects a small spray cone (~5% of
+    # particles by frame 40) whose membership is chaotic and depends on
+    # the SVD's inverted-element sign convention (taichi.h vs
+    # jnp.linalg.svd differ there), so late-frame TAILS are not pinned
+    # — measured: COM err 3e-5/1e-3/2.2e-3 at frames 10/20/40,
+    # frame-10 decile err 1.1e-2 (dx = 1.25e-2).
+    f = 0
+    checks = {10: 1e-3, 20: 4e-3, 40: 8e-3}
+    for k in sorted(checks):
+        while f < k:
+            sim.step()
+            f += 1
+        ref = golden[k]
+        got = np.asarray(sim.particles.x)[:n]
+        com_err = np.abs(got.mean(0) - ref.mean(0)).max()
+        assert com_err < checks[k], (k, com_err)
+        if k == 10:
+            qs = np.linspace(0.05, 0.95, 10)
+            q_err = np.abs(
+                np.quantile(got, qs, axis=0) - np.quantile(ref, qs, axis=0)
+            ).max()
+            assert q_err < 2e-2, (k, q_err)
