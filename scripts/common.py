@@ -23,6 +23,9 @@ def parse_args(**defaults):
     ap.add_argument("--continue", dest="cont", type=int, default=-1,
                     help="resume from snapshot at this frame")
     ap.add_argument("--verbose-bgeo", action="store_true")
+    ap.add_argument("--frame-dt", type=float, default=0.0,
+                    help="override the scene's frame_dt (CI smoke runs "
+                    "cap substeps/frame on substep-heavy scenes)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -52,6 +55,8 @@ def simulate(sim, args, frame_update=None, print_energy=False):
     scripts/async/async_mpm.py:224-256)."""
     import numpy as np
 
+    if getattr(args, "frame_dt", 0.0):
+        sim.frame_dt = args.frame_dt
     out = args.out or None
     if out:
         os.makedirs(out, exist_ok=True)

@@ -559,11 +559,14 @@ class MPM:
         self._pcarry = None
         cap_p = self.particles.capacity
 
+        fused = self.fused
+
         @jax.jit
         def pack_fn(p):
-            return packed.pack_carry(p, cfg, cap)
-
-        fused = self.fused
+            # fused mode carries the (NCH, Pw) state form: the kernels'
+            # native tiled layout, so no per-substep relayout exists
+            # (ops/packed.fused_substep_presorted docstring)
+            return packed.pack_carry(p, cfg, cap, two_d=fused)
 
         def fn(carry, t):
             carry, t, nmax, _, plast = packed.packed_frame_carry(

@@ -80,8 +80,18 @@ def padded_width(capacity: int) -> int:
 
 
 def row(st, r, pw):
-    """Channel row r of the flat state: a contiguous (pw,) slice."""
+    """Channel row r of the packed state: a (pw,) slice. Accepts the
+    flat (NCH*pw,) form (unfused carry) or the 2-D (NCH, pw) form (the
+    FUSED carry — see fused_substep_presorted for why the forms differ
+    on TPU)."""
+    if st.ndim == 2:
+        return st[r]
     return jax.lax.slice(st, (r * pw,), ((r + 1) * pw,))
+
+
+def state_width(st) -> int:
+    """Lane width pw of a packed state in either form."""
+    return st.shape[-1] if st.ndim == 2 else st.shape[0] // NCH
 
 
 # -- conversions ------------------------------------------------------------
@@ -110,8 +120,8 @@ def pack_particles(p: Particles) -> jnp.ndarray:
 
 
 def unpack_particles(st: jnp.ndarray, capacity: int) -> Particles:
-    """Flat state -> Particles (frame exit)."""
-    pw = st.shape[0] // NCH
+    """Packed state (either form) -> Particles (frame exit)."""
+    pw = state_width(st)
 
     def s(r):
         return row(st, r, pw)[:capacity]
@@ -147,7 +157,7 @@ def unpack_particles(st: jnp.ndarray, capacity: int) -> Particles:
 
 def _keys_of(st, cfg: SimConfig):
     """Padded block id per lane (sentinel = total for inactive/pad)."""
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
     nbp = blocked.num_blocks_padded(cfg)
     total = blocked.total_blocks_padded(cfg)
     act = row(st, RACT, pw) > 0.5
@@ -171,20 +181,22 @@ def sort_packed(st, cfg: SimConfig):
     force that staging (fused, XLA canonicalizes to a lane-axis gather
     that measured 3-4x slower). The gather itself is per-row-overhead
     bound (~14 ns/row, locality-independent), so this only runs on the
-    drift-triggered lazy re-sorts."""
-    pw = st.shape[0] // NCH
+    drift-triggered lazy re-sorts. Accepts/returns either state form."""
+    pw = state_width(st)
     keys = _keys_of(st, cfg)
     # one sort pass yields BOTH the sorted keys and the permutation
     # (argsort + keys[order] re-gather costs an extra ~50 ms at 8M)
     keys_sorted, order = jax.lax.sort_key_val(
         keys, jnp.arange(pw, dtype=jnp.int32), is_stable=True
     )
-    st2 = st.reshape(NCH, pw)
+    st2 = st if st.ndim == 2 else st.reshape(NCH, pw)
     stT = jax.lax.optimization_barrier(
         jnp.pad(st2.T, ((0, 0), (0, GATHER_PAD - NCH)))
     )
     g = jax.lax.optimization_barrier(stT[order])
-    st_sorted = g[:, :NCH].T.reshape(-1)
+    st_sorted = g[:, :NCH].T
+    if st.ndim == 1:
+        st_sorted = st_sorted.reshape(-1)
     return st_sorted, keys_sorted
 
 
@@ -194,8 +206,12 @@ def annotate_origins(st, keys, cfg: SimConfig):
     sorts, which is exactly the lazy-sort contract (particles stay
     within half a cell of this block). The fused Pallas kernels read
     these rows to reconstruct block-local positions in-kernel."""
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
     ox, oy, oz = _origin_rows(keys, cfg)
+    if st.ndim == 2:
+        return jax.lax.dynamic_update_slice(
+            st, jnp.stack([ox, oy, oz]), (RORG, 0)
+        )
     return jax.lax.dynamic_update_slice(
         st, jnp.concatenate([ox, oy, oz]), (RORG * pw,)
     )
@@ -217,9 +233,13 @@ def build_page_map_packed(keys, cfg: SimConfig, K: int):
     ids, n_act, slot_map, s_arr, e_arr = blocked.build_page_map(keys, cfg, K)
     nbr = blocked.neighbor_slots(ids, slot_map, cfg)
     slot_keys = slot_map[jnp.minimum(keys, nb_total)]
+    # slot_keys2d: the (1, Pw) form the G2P kernels consume. Staged here
+    # (at sort time) because the (Pw,)->(1,Pw) reshape is a T(1024) ->
+    # T(8,128) relayout on TPU (~1 ms/substep at 8M if done per substep).
     return dict(
         ids=ids, n_act=n_act, s_arr=s_arr, e_arr=e_arr, nbr=nbr,
-        slot_keys=slot_keys, slot_map=slot_map,
+        slot_keys=slot_keys, slot_keys2d=slot_keys[None, :],
+        slot_map=slot_map,
     )
 
 
@@ -363,13 +383,15 @@ def finish_packed(st, pout, cfg: SimConfig, dt, zero_C=None):
 def clean_boundary_packed(st, cfg: SimConfig):
     """Deactivate lanes within 7 cells of the domain edge
     (clear_boundary_particles, mpm.h:269-276)."""
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
     act = row(st, RACT, pw) > 0.5
     near = jnp.zeros_like(act)
     for k in range(3):
         pos = row(st, RX + k, pw) * cfg.inv_dx
         near = near | (pos < 7.0) | (pos > cfg.res[k] - 7.0)
     new_act = (act & ~near).astype(jnp.float32)
+    if st.ndim == 2:
+        return jax.lax.dynamic_update_slice(st, new_act[None], (RACT, 0))
     return jax.lax.dynamic_update_slice(st, new_act, (RACT * pw,))
 
 
@@ -377,7 +399,7 @@ def particle_collision_packed(st, cfg: SimConfig, colliders, t):
     """Per-particle levelset projection (mpm.cpp:414-427) on rows."""
     from taichi_mpm_tpu.core.levelset import DirichletRegion
 
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
     act = row(st, RACT, pw) > 0.5
     x = [row(st, RX + k, pw) for k in range(3)]
     v = [row(st, RV + k, pw) for k in range(3)]
@@ -393,6 +415,8 @@ def particle_collision_packed(st, cfg: SimConfig, colliders, t):
         vn = sum(gi * vi for gi, vi in zip(g, v))
         v = [jnp.where(hit, vi - vn * gi, vi) for vi, gi in zip(v, g)]
         xg = jnp.stack(x, -1)
+    if st.ndim == 2:
+        return jax.lax.dynamic_update_slice(st, jnp.stack(x + v), (RX, 0))
     st = jax.lax.dynamic_update_slice(st, jnp.concatenate(x + v), (RX * pw,))
     return st
 
@@ -415,7 +439,17 @@ def fused_substep_presorted(
     stay global-consistent, so the kernels need no hook);
     `grid_colliders` are the scene colliders shifted into that local
     frame; `exchange_fn` sums the slab-boundary record columns between
-    the halo merge and the grid update."""
+    the halo merge and the grid update.
+
+    State form: accepts flat (NCH*Pw,) or 2-D (NCH, Pw) and returns the
+    same form. On TPU the two have DIFFERENT memory layouts (flat is
+    linear T(1024); 2-D is tile-interleaved T(8,128)), so the
+    flat<->2-D reshape is NOT a bitcast: XLA lowers it as a rolled
+    48-iteration dynamic-slice/update loop costing ~77 ms/substep at 8M
+    (measured, round 3). Fused frame drivers must therefore carry the
+    2-D form — the kernels' native layout — so no per-substep relayout
+    exists; flat callers (multichip/async paths not yet migrated) still
+    work but pay the relayout."""
     from taichi_mpm_tpu.ops import fused_pallas
 
     if gcfg is None:
@@ -423,8 +457,7 @@ def fused_substep_presorted(
     if grid_colliders is None:
         grid_colliders = colliders
     K = pm["ids"].shape[0]
-    pw = st.shape[0] // NCH
-    st2d = st.reshape(NCH, pw)
+    st2d = st if st.ndim == 2 else st.reshape(NCH, state_width(st))
     tiles = fused_pallas.p2g_fused(
         pm["s_arr"], pm["e_arr"], st2d, dt, cfg, interpret=interpret
     )
@@ -433,16 +466,19 @@ def fused_substep_presorted(
         rec = exchange_fn(rec)
     vrec = grid_update_flat(rec, pm["ids"], gcfg, grid_colliders, t, dt)
     gtiles = blocked.windows_mm(vrec, pm["nbr"])
+    keys2d = pm.get("slot_keys2d")
+    if keys2d is None:  # pm built before slot_keys2d existed (checkpoints)
+        keys2d = pm["slot_keys"][None, :]
     st2d, vmaxw, plastw = fused_pallas.g2p_fused(
-        pm["slot_keys"][None, :], st2d, gtiles,
+        keys2d, st2d, gtiles,
         jnp.asarray([K], jnp.int32), dt, cfg, interpret=interpret,
     )
-    st = st2d.reshape(-1)
+    st_out = st2d if st.ndim == 2 else st2d.reshape(-1)
     if cfg.particle_collision:
-        st = particle_collision_packed(st, cfg, colliders, t)
+        st_out = particle_collision_packed(st_out, cfg, colliders, t)
     if cfg.clean_boundary:
-        st = clean_boundary_packed(st, cfg)
-    return (st, t + dt), pm["n_act"], jnp.max(vmaxw), jnp.sum(plastw)
+        st_out = clean_boundary_packed(st_out, cfg)
+    return (st_out, t + dt), pm["n_act"], jnp.max(vmaxw), jnp.sum(plastw)
 
 
 def packed_substep_presorted(
@@ -486,7 +522,7 @@ def dt_limit_packed(st, cfg: SimConfig, strength_dt_mul=1.0, cfl_dt_mul=1.0):
     """Global allowed dt on packed rows (core/adaptive.dt_limit: material
     sound-speed CFL x strength_dt_mul, advection CFL x cfl_dt_mul,
     min-reduced over active lanes; async_mpm.cpp:90-254)."""
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
     act = row(st, RACT, pw) > 0.5
     v = [row(st, RV + k, pw) for k in range(3)]
     speed = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
@@ -519,6 +555,8 @@ def packed_adaptive_frame(
 
     cap = p.capacity
     st0 = pack_particles(p)
+    if fused:
+        st0 = st0.reshape(NCH, -1)  # the fused carry form (no relayout/substep)
 
     def resort(st):
         return sort_and_map(st, cfg, K)
@@ -601,9 +639,15 @@ def packed_frame_carry(
     return (st, keys, pm, drift), t, nmax, nsorts, plast
 
 
-def pack_carry(p: Particles, cfg: SimConfig, K: int):
-    """Build the persistent packed carry from a Particles pytree."""
+def pack_carry(p: Particles, cfg: SimConfig, K: int, two_d: bool = False):
+    """Build the persistent packed carry from a Particles pytree.
+    two_d=True keeps the state in the (NCH, Pw) form — REQUIRED for the
+    fused frame drivers (see fused_substep_presorted: the flat<->2-D
+    conversion is a ~77 ms relayout at 8M, paid here ONCE instead of
+    twice per substep)."""
     st = pack_particles(p)
+    if two_d:
+        st = st.reshape(NCH, -1)
     st, keys, pm = sort_and_map(st, cfg, K)
     return (st, keys, pm, jnp.float32(0.0))
 
@@ -616,7 +660,7 @@ def packed_frame(
     Takes/returns a Particles pytree (pack/sort/unpack at the frame
     edges); returns (p, t, max n_act, n_sorts, plast_count)."""
     cap = p.capacity
-    carry = pack_carry(p, cfg, K)
+    carry = pack_carry(p, cfg, K, two_d=fused)
     carry, t, nmax, nsorts, plast = packed_frame_carry(
         carry, t, cfg, colliders, dt, n_substeps, K, interpret=interpret,
         fused=fused,

@@ -84,19 +84,21 @@ class TestStork:
 # source-driven coupling (water_wheel) etc. must surface in CI.
 
 COMMON_RUNNER_SCENES = [
-    # (relpath, frames, res) — all print "frame 0000N" per frame
-    ("scripts/mls-cpic/banana.py", 2, 48),
-    ("scripts/mls-cpic/bunny_split.py", 2, 48),
-    ("scripts/mls-cpic/buoyancy.py", 2, 48),
-    ("scripts/mls-cpic/goo_blocks.py", 2, 48),
-    ("scripts/mls-cpic/robot.py", 2, 48),
-    ("scripts/mls-cpic/robot_reversed.py", 2, 48),
-    ("scripts/mls-cpic/sand_paddles.py", 2, 48),
-    ("scripts/mls-cpic/sand_stir.py", 2, 48),
-    ("scripts/mls-cpic/sand_sweep.py", 2, 48),
-    ("scripts/mls-cpic/water_wheel.py", 2, 48),
-    ("scripts/benchmark/colliding_balls_3d_test.py", 2, 32),
-    ("scripts/benchmark/oscillating_jello.py", 2, 32),
+    # (relpath, frames, res, extra) — all print "frame 0000N" per frame
+    ("scripts/mls-cpic/banana.py", 2, 48, ()),
+    ("scripts/mls-cpic/bunny_split.py", 2, 48, ()),
+    # buoyancy: 200 substeps/frame at 120k particles (~6.5 min/frame on
+    # a 1-CPU runner); the smoke caps it at 10 substeps via --frame-dt
+    ("scripts/mls-cpic/buoyancy.py", 2, 48, ("--frame-dt", "5e-4")),
+    ("scripts/mls-cpic/goo_blocks.py", 2, 48, ()),
+    ("scripts/mls-cpic/robot.py", 2, 48, ()),
+    ("scripts/mls-cpic/robot_reversed.py", 2, 48, ()),
+    ("scripts/mls-cpic/sand_paddles.py", 2, 48, ()),
+    ("scripts/mls-cpic/sand_stir.py", 2, 48, ()),
+    ("scripts/mls-cpic/sand_sweep.py", 2, 48, ()),
+    ("scripts/mls-cpic/water_wheel.py", 2, 48, ()),
+    ("scripts/benchmark/colliding_balls_3d_test.py", 2, 32, ()),
+    ("scripts/benchmark/oscillating_jello.py", 2, 32, ()),
 ]
 
 ASYNC_SCENES = [
@@ -108,12 +110,14 @@ ASYNC_SCENES = [
 
 
 class TestAllScenes:
-    @pytest.mark.parametrize("rel,frames,res", COMMON_RUNNER_SCENES,
+    @pytest.mark.parametrize("rel,frames,res,extra", COMMON_RUNNER_SCENES,
                              ids=[s[0].split("/")[-1][:-3]
                                   for s in COMMON_RUNNER_SCENES])
-    def test_scene(self, rel, frames, res):
+    def test_scene(self, rel, frames, res, extra):
         out = run_script(
-            rel, ["--frames", str(frames), "--res", str(res)], timeout=900
+            rel,
+            ["--frames", str(frames), "--res", str(res), *extra],
+            timeout=900,
         )
         assert f"frame {frames - 1:05d}" in out
 
