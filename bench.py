@@ -211,6 +211,65 @@ def _bench_kernel(mode: str, cells: int, repeats: int):
     )
 
 
+def _bench_cpic(substeps: int, repeats: int):
+    """Two-way coupled CPIC benchmark: 100k water particles pouring on a
+    free-spinning 6-paddle wheel (rotation articulation), the config of
+    the round-1 61 ms/substep figure. Reports ms/substep + throughput
+    (reference microbenchmark pattern, mpm.cpp:516-524)."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    _force_platform(jax)
+    from taichi_mpm_tpu.core.solver import MPM
+    from taichi_mpm_tpu.rigid.mesh import cylinder_mesh, paddle_wheel_mesh
+
+    n = 100_000
+    rng = np.random.default_rng(0)
+    sim = MPM(res=(96, 96, 96), base_delta_t=1e-4, gravity=(0, -10.0, 0),
+              penalty=1e3, optimized=True)
+    sim.frame_dt = sim.cfg.base_dt * substeps
+    pos = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32) * np.asarray(
+        [0.5, 0.35, 0.3], np.float32
+    ) + np.asarray([0.25, 0.6, 0.35], np.float32)
+    sim.add_particles("water", pos=pos, density=1000.0)
+    center = (0.5, 0.4, 0.5)
+    hub = sim.add_particles(
+        "rigid", mesh=cylinder_mesh(radius=0.04, half_height=0.06, n=16,
+                                    axis=2),
+        density=1.0, friction=0.2, codimensional=True, angular_damping=3.0,
+        scripted_position=lambda t: center, rotation_axis=(0, 0, 1),
+    )
+    wheel = sim.add_particles(
+        "rigid", mesh=paddle_wheel_mesh(), density=1.0, friction=0.2,
+        codimensional=True, angular_damping=3.0,
+        scripted_position=lambda t: center, rotation_axis=(0, 0, 1),
+    )
+    sim.add_articulation("rotation", hub, wheel)
+
+    sim.step()
+    jax.block_until_ready(sim.particles.x)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        sim.step()
+        jax.block_until_ready(sim.particles.x)
+        best = min(best, _time.perf_counter() - t0)
+    ms = best / substeps * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "cpic_ms_per_substep",
+                "value": ms,
+                "unit": "ms/substep (100k water + 6-paddle wheel)",
+                "vs_baseline": 61.0 / ms,  # round-1 figure as the baseline
+                "fused": sim.fused,
+            }
+        )
+    )
+
+
 def main():
     cells = int(os.environ.get("BENCH_CELLS", "100"))  # 100 -> 8M particles
     substeps = int(os.environ.get("BENCH_SUBSTEPS", "20"))
@@ -219,6 +278,8 @@ def main():
 
     if mode in ("p2g", "g2p"):
         return _bench_kernel(mode, cells, repeats)
+    if mode == "cpic":
+        return _bench_cpic(substeps, repeats)
 
     # fused-path watchdog: only on the real-TPU axon backend, only when
     # fused would be on, and before THIS process touches jax
