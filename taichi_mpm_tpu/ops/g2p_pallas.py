@@ -34,9 +34,9 @@ from taichi_mpm_tpu.ops.blocked import TILE
 from taichi_mpm_tpu.ops.p2g_pallas import (
     CHUNK,
     NJK,
-    _HI,
     _axis_weights_T,
     _wyzT,
+    transfer_dot,
 )
 
 NCI = 3 * TILE  # 21 live tile rows: (c, i)
@@ -71,11 +71,8 @@ def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
         mask = ((kb2 == b_cur) & valid).astype(jnp.float32)
         wyzT = wyz_base * mask  # (49, CHUNK)
         gt63 = jnp.concatenate([gt21, gt21 * jn49, gt21 * kn49], 0)
-        s_t = jax.lax.dot_general(
-            gt63, wyzT,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HI,
+        s_t = transfer_dot(
+            gt63, wyzT, (((1,), (0,)), ((), ()))
         )  # (63, CHUNK)
 
         def fold(block_off, weights, c):

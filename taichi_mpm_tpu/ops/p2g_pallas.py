@@ -47,7 +47,39 @@ NVAL = 16  # value channels: mv(3) mass(1) A-col0(3) 0 A-col1(3) 0 A-col2(3) 0
 NROW = NVAL * TILE  # 112 matmul M
 NJK = TILE * TILE  # 49 matmul N
 NOUT = 4 * TILE  # 28 output rows: (i, c)
+import os as _os
+
 _HI = jax.lax.Precision.HIGHEST
+_X6 = _os.environ.get("TMT_XFER_X6", "0") == "1"
+
+
+def transfer_dot(a, b, dims):
+    """The transfer kernels' f32 contraction at ~bf16x3 precision.
+
+    Mosaic supports only DEFAULT (one bf16 MXU pass, ~1e-3 relative
+    error at 512-deep sums) and HIGHEST (6 passes) inside kernels —
+    `Precision.HIGH` raises "Unsupported dot precision". The classic
+    3-pass split is therefore done manually: each operand is split
+    into a bf16 hi part and a bf16 residual, and hh + hl + lh gives
+    ~2^-16 operand accuracy at HALF the MXU passes of HIGHEST
+    (hardware A/B on the 1M bench scene: max |dx| 6e-8 after 60
+    substeps). On CPU (tests, interpret-mode differentials, the
+    multichip dryrun) the full-f32 dot is used so CPU oracles stay
+    bitwise-stable. TMT_XFER_X6=1 restores HIGHEST on TPU."""
+    if _X6 or jax.default_backend() == "cpu":
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
 def _quadratic_weight(t):
@@ -107,12 +139,8 @@ def _chunk_contrib(pd, s, e, gstart):
         [val * wx[i : i + 1, :] for i in range(TILE)], 0
     )  # (112, CHUNK)
 
-    return jax.lax.dot_general(
-        val2,
-        wyzT,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HI,
+    return transfer_dot(
+        val2, wyzT, (((1,), (1,)), ((), ()))
     )  # (112, 49)
 
 
