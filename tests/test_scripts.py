@@ -58,6 +58,16 @@ class TestScripts:
         assert res.returncode == 0, res.stderr[-2000:]
         assert "frame 003" in res.stdout
 
+    def test_mls_mpm88_explained_demo(self):
+        src = open(os.path.join(REPO, "demos/mls_mpm88_explained.py")).read()
+        src = src.replace("range(40)", "range(4)")
+        res = subprocess.run(
+            [sys.executable, "-c", src], capture_output=True, text=True,
+            timeout=480, env=ENV, cwd=REPO,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "frame 003" in res.stdout
+
     def test_tetris_demo(self, tmp_path):
         src = open(os.path.join(REPO, "demos/tetris.py")).read()
         src = src.replace("range(60)", "range(3)")
