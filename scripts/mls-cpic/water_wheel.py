@@ -15,9 +15,11 @@ args = parse_args(frames=120, res=64)
 r = args.res
 center = (0.5, 0.5, 0.5)
 
-# SHARDS=N runs this scene multichip through DistributedMPM
+# SHARDS=N runs this scene multichip through DistributedMPM.
+# The source emits ~volume/dx^3 particles per frame, so capacity scales
+# with resolution (the reference runs this at res 400, water_wheel.py:4)
 sim = mpm_class()(res=(r, r, r), base_delta_t=5e-5, frame_dt=0.01,
-                  penalty=1e3, capacity=50_000)
+                  penalty=1e3, capacity=max(50_000, int(0.025 * r**3)))
 sim.add_collider(Collider(sdf=lambda x, t: x[..., 1] - 0.1, friction=0.2))
 
 hub = sim.add_particles(
