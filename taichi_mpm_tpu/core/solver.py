@@ -549,7 +549,9 @@ class MPM:
 
             @jax.jit
             def pack_fn(p):
-                return cpic_packed_pack_carry(p, cfg, cap)
+                # 2-D (NCH, Pw) carry: the fused kernels' native layout
+                # (flat would pay a relayout copy per substep)
+                return cpic_packed_pack_carry(p, cfg, cap, two_d=True)
 
             def fn(carry, bodies, t):
                 carry, bodies, t, n_act, n_near, n_coarse, n_r, _, plast = (

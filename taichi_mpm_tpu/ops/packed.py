@@ -307,8 +307,10 @@ def finish_packed(st, pout, cfg: SimConfig, dt, zero_C=None):
     Returns (st_new, vmax, plast_count): vmax is the max |v| component
     used for advection (drift accounting), plast_count the number of
     plasticity/cutting events (reference work counters, mpm.h:111-112).
+    Accepts either state form and preserves it (the 2-D (NCH, Pw) form
+    is the fused-carry layout, see fused_substep_presorted).
     """
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
     invD = inv_D(cfg.kernel_order)
     act = row(st, RACT, pw) > 0.5
     v_new = tuple(jnp.where(act, pout[k], 0.0) for k in range(3))
@@ -372,7 +374,7 @@ def finish_packed(st, pout, cfg: SimConfig, dt, zero_C=None):
     rows += [row(st, RNEARB, pw)]
     # annotation rows (sort-time origins, matf) pass through unchanged
     rows += [row(st, r, pw) for r in range(43, NCH)]
-    st_new = jnp.concatenate(rows)
+    st_new = jnp.stack(rows) if st.ndim == 2 else jnp.concatenate(rows)
     vmax = jnp.max(
         jnp.stack([jnp.max(jnp.where(act_new, jnp.abs(v), 0.0)) for v in v_new])
     )

@@ -112,7 +112,7 @@ def compact_near_rigid_packed(
     nbp = blocked.num_blocks_padded(cfg)
     total = blocked.total_blocks_padded(cfg)
     K = pm["ids"].shape[0]
-    pw = st.shape[0] // NCH
+    pw = packed.state_width(st)
     core = node_states.tagged_blocks().reshape(nbp)
     for ax in range(3):
         lo = jnp.concatenate(
@@ -193,7 +193,7 @@ def cpic_packed_substep_presorted(
         return jax.lax.psum(v, axis) if axis is not None else v
 
     R = bodies.num
-    pw = st.shape[0] // NCH
+    pw = packed.state_width(st)
     K = pm["ids"].shape[0]
     near_budget = min(near_budget, pw)
 
@@ -229,14 +229,19 @@ def cpic_packed_substep_presorted(
     nearb_row = zero.at[idx].set(
         (valid & nb_c).astype(jnp.float32)
     )
-    st = jnp.concatenate(
-        [jax.lax.slice(st, (0,), (RSTATES * pw,)),
-         states_row, bdist_row] + bn_rows + [nearb_row,
-         jax.lax.slice(st, ((RNEARB + 1) * pw,), (NCH * pw,))]
-    )
+    # rows RSTATES..RNEARB (37..42) are contiguous in the layout
+    aff_rows = [states_row, bdist_row] + bn_rows + [nearb_row]
+    if st.ndim == 2:
+        st = jax.lax.dynamic_update_slice(
+            st, jnp.stack(aff_rows), (RSTATES, 0)
+        )
+    else:
+        st = jax.lax.dynamic_update_slice(
+            st, jnp.concatenate(aff_rows), (RSTATES * pw,)
+        )
 
     # -- bulk P2G: the fused prep+P2G kernel over all particles
-    st2d = st.reshape(NCH, pw)
+    st2d = st if st.ndim == 2 else st.reshape(NCH, pw)
     tiles = fused_pallas.p2g_fused(
         pm["s_arr"], pm["e_arr"], st2d, dt, cfg, interpret=interpret
     )
@@ -302,14 +307,18 @@ def cpic_packed_substep_presorted(
     )
     dvp = bd_c[:, None] * bn_c * cfg.penalty
     v_pen = jnp.where(pen[:, None], v_c - dvp, v_c)
-    st = jnp.concatenate(
-        [jax.lax.slice(st, (0,), (RV * pw,))]
-        + [row(st, RV + k, pw).at[idx].set(
-               jnp.where(vmask & act_c, v_pen[:, k],
-                         row(st, RV + k, pw)[idx]))
-           for k in range(3)]
-        + [jax.lax.slice(st, ((RV + 3) * pw,), (NCH * pw,))]
-    )
+    v_rows = [
+        row(st, RV + k, pw).at[idx].set(
+            jnp.where(vmask & act_c, v_pen[:, k],
+                      row(st, RV + k, pw)[idx]))
+        for k in range(3)
+    ]
+    if st.ndim == 2:
+        st = jax.lax.dynamic_update_slice(st, jnp.stack(v_rows), (RV, 0))
+    else:
+        st = jax.lax.dynamic_update_slice(
+            st, jnp.concatenate(v_rows), (RV * pw,)
+        )
     # torque arms use the ADVECTED positions (the pytree path reads p.x
     # after g2p_finish, cpic_blocked.py penalty epilogue)
     x_pen = jnp.stack([row(st, RX + k, pw)[idx] for k in range(3)], -1)
@@ -329,9 +338,15 @@ def cpic_packed_substep_presorted(
     return (st, bodies, t + dt), n_near, n_coarse, n_r, vmax, plast
 
 
-def cpic_packed_pack_carry(p: Particles, cfg: SimConfig, K: int):
-    """Persistent packed CPIC carry (st, keys, pm, drift)."""
+def cpic_packed_pack_carry(p: Particles, cfg: SimConfig, K: int,
+                           two_d: bool = False):
+    """Persistent packed CPIC carry (st, keys, pm, drift). two_d=True
+    keeps the state in the (NCH, Pw) form — the fused kernels' native
+    layout (see ops/packed.pack_carry): flat callers pay a relayout
+    copy per substep at the kernel boundary."""
     st = packed.pack_particles(p)
+    if two_d:
+        st = st.reshape(NCH, -1)
     st, keys, pm = packed.sort_and_map(st, cfg, K)
     return (st, keys, pm, jnp.float32(0.0))
 
@@ -343,26 +358,56 @@ def cpic_packed_frame_carry(
 ):
     """The packed twin of cpic_blocked.cpic_frame_carry: lazy re-sort
     over the persistent packed carry. Returns (carry, bodies, t, max
-    n_act, max n_near, max n_coarse, max n_r, n_sorts, plast)."""
+    n_act, max n_near, max n_coarse, max n_r, n_sorts, plast).
+
+    Loop structure: TWO-LEVEL, like ops/packed.packed_frame_carry —
+    the inner while runs pure coupled substeps until drift crosses the
+    0.45-cell lazy-sort bound; the outer loop re-sorts and re-enters.
+    A per-substep resort `lax.cond` costs a full-state identity-branch
+    copy plus a column-major carry flip per substep (measured 17 ms at
+    8M on the plain path); the (substep, resort) event sequence is
+    IDENTICAL to the old single-level scan."""
     st, keys, pm, drift0 = carry
 
-    def resort(st):
-        return packed.sort_and_map(st, cfg, K)
+    def inner_cond(c):
+        (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
+         plast) = c
+        return (n < n_substeps) & (drift < 0.45)
 
-    def body(carry, _):
-        (st, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr,
-         nsorts, plast) = carry
+    def inner_body(c):
+        (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
+         plast) = c
         (st, bodies, t), n_near, n_coarse, n_r, vmax, dplast = (
             cpic_packed_substep_presorted(
                 st, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
                 Kr, interpret=interpret,
             )
         )
-        drift = drift + dt * cfg.inv_dx * vmax
+        return (st, keys, pm, bodies, drift + dt * cfg.inv_dx * vmax, t,
+                n + 1, jnp.maximum(nnear, n_near),
+                jnp.maximum(ncoarse, n_coarse), jnp.maximum(nr, n_r),
+                plast + dplast)
+
+    def outer_cond(c):
+        (st, keys, pm, bodies, drift, t, n, nmax, nnear, ncoarse, nr,
+         nsorts, plast) = c
+        return (n < n_substeps) | (drift >= 0.45)
+
+    def outer_body(c):
+        (st, keys, pm, bodies, drift, t, n, nmax, nnear, ncoarse, nr,
+         nsorts, plast) = c
+        (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
+         plast) = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
+             plast),
+        )
         need = drift >= 0.45
 
         def do_resort(st):
-            return resort(jax.lax.optimization_barrier(st))
+            return packed.sort_and_map(
+                jax.lax.optimization_barrier(st), cfg, K
+            )
 
         def keep(st):
             return st, keys, pm
@@ -370,20 +415,17 @@ def cpic_packed_frame_carry(
         st, keys, pm = jax.lax.cond(need, do_resort, keep, st)
         drift = jnp.where(need, 0.0, drift)
         nsorts = nsorts + need.astype(jnp.int32)
-        return (
-            st, keys, pm, bodies, drift, t,
-            jnp.maximum(nmax, pm["n_act"]), jnp.maximum(nnear, n_near),
-            jnp.maximum(ncoarse, n_coarse), jnp.maximum(nr, n_r), nsorts,
-            plast + dplast,
-        ), None
+        return (st, keys, pm, bodies, drift, t, n,
+                jnp.maximum(nmax, pm["n_act"]), nnear, ncoarse, nr,
+                nsorts, plast)
 
-    scarry = (
-        st, keys, pm, bodies, drift0, t, pm["n_act"],
+    wcarry = (
+        st, keys, pm, bodies, drift0, t, jnp.int32(0), pm["n_act"],
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
         jnp.int32(0),
     )
-    (st, keys, pm, bodies, drift, t, nmax, nnear, ncoarse, nr, nsorts,
-     plast), _ = jax.lax.scan(body, scarry, None, length=n_substeps)
+    (st, keys, pm, bodies, drift, t, _, nmax, nnear, ncoarse, nr,
+     nsorts, plast) = jax.lax.while_loop(outer_cond, outer_body, wcarry)
     return ((st, keys, pm, drift), bodies, t, nmax, nnear, ncoarse, nr,
             nsorts, plast)
 
@@ -391,11 +433,11 @@ def cpic_packed_frame_carry(
 def cpic_packed_frame(
     p: Particles, bodies, t, cfg: SimConfig, scene, dt, n_substeps: int,
     K: int, near_budget: int, b1: int = 0, Kr: int = 0,
-    interpret: bool = False,
+    interpret: bool = False, two_d: bool = False,
 ):
     """Pytree-in/pytree-out packed CPIC frame (tests + ad-hoc use)."""
     cap = p.capacity
-    carry = cpic_packed_pack_carry(p, cfg, K)
+    carry = cpic_packed_pack_carry(p, cfg, K, two_d=two_d)
     carry, bodies, t, nmax, nnear, ncoarse, nr, nsorts, plast = (
         cpic_packed_frame_carry(
             carry, bodies, t, cfg, scene, dt, n_substeps, K, near_budget,

@@ -7,6 +7,7 @@ cpic_blocked_frame the same way that path is pinned to the oracle
 colored transfers (tests/test_cpic.py::TestCPICBlocked)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -86,6 +87,27 @@ def test_packed_matches_blocked_with_resort():
     track the pytree path across them (same drift accounting)."""
     vdrift = 0.1 / (2e-4 * 16.0)  # ~0.1 cells/substep
     _compare(_plate_scene(vel=(vdrift, -0.5, 0.0), seed=7), n_sub=8)
+
+
+def test_two_d_carry_matches_flat():
+    """The 2-D (NCH, Pw) carry (the MPM driver's form — the fused
+    kernels' native layout) must be BITWISE identical to the flat
+    carry: same math, same op order, only the state layout differs."""
+    sim = _plate_scene(vel=(0.1 / (2e-4 * 16.0), -0.5, 0.0), seed=5)
+    cfg, scene, b0 = sim.cfg, sim.rigid_scene, sim.bodies
+    args = (sim.particles, b0, jnp.float32(0.0), cfg, scene, cfg.base_dt,
+            6, 128, 256, 1024, 128)
+    r1 = cpic_packed_frame(*args, interpret=True, two_d=False)
+    r2 = cpic_packed_frame(*args, interpret=True, two_d=True)
+    p1, p2 = r1[0], r2[0]
+    for f in ("x", "v", "F", "C", "active", "states", "bdist", "near_b"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p2, f)), np.asarray(getattr(p1, f)), err_msg=f
+        )
+    for k in range(1, len(r1)):
+        for l1, l2 in zip(jax.tree_util.tree_leaves(r1[k]),
+                          jax.tree_util.tree_leaves(r2[k])):
+            np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
 
 
 def test_packed_wheel_two_way():
