@@ -371,15 +371,42 @@ class MPM:
                 self.cfg, num_rigids=self._rigid_builder.num
             )
 
+    def _use_blocked(self) -> bool:
+        """Gate for the optimized (blocked/packed/fused) path. The Pallas
+        kernels hardcode quadratic B-spline weights (p2g_pallas.py); any
+        other kernel_order must run the oracle path, which dispatches the
+        generic-order kernels (math/kernels.py) — the analog of the
+        reference's generic MpmKernel for non-default orders
+        (src/kernel.h:73-166)."""
+        cfg = self.cfg
+        use_blocked = self.optimized
+        if use_blocked is None:
+            use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
+        if use_blocked and cfg.dim == 3 and cfg.kernel_order != 2:
+            if self.optimized:
+                raise ValueError(
+                    "optimized=True requires kernel_order=2 (the blocked/"
+                    "fused kernels hardcode quadratic weights); got "
+                    f"kernel_order={cfg.kernel_order}. Use optimized=False."
+                )
+            import warnings
+
+            warnings.warn(
+                f"kernel_order={cfg.kernel_order}: falling back to the "
+                "oracle (unblocked) path; the optimized path only supports "
+                "quadratic B-splines.",
+                stacklevel=3,
+            )
+            return False
+        return bool(use_blocked)
+
     def _build_jit(self, n_substeps: int):
         cfg = self.cfg
         colliders = tuple(self.colliders)
         self._blocked_cap = None
 
         if self.bodies is not None:
-            use_blocked = self.optimized
-            if use_blocked is None:
-                use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
+            use_blocked = self._use_blocked()
             if use_blocked and cfg.dim == 3:
                 near, b1, Kr = self._near_budget_cap()
                 return self._build_cpic_blocked_jit(
@@ -402,9 +429,7 @@ class MPM:
 
             return jax.jit(fn)
 
-        use_blocked = self.optimized
-        if use_blocked is None:
-            use_blocked = cfg.dim == 3 and jax.default_backend() == "tpu"
+        use_blocked = self._use_blocked()
         if use_blocked and cfg.dim == 3:
             return self._build_blocked_jit(n_substeps, self._active_block_cap())
 

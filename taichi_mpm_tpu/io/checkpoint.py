@@ -26,12 +26,22 @@ def _flatten(prefix: str, obj) -> dict:
     return out
 
 
-def _restore(cls_instance, prefix: str, data) -> object:
+def _restore(cls_instance, prefix: str, data, grow_to: int | None = None) -> object:
+    """Replace array fields from the npz. When ``grow_to`` is given, each
+    restored array covers rows [0:snap_P) and rows [snap_P:grow_to) keep
+    the scene's freshly-initialized (inactive) values — so a snapshot can
+    be resumed into a LARGER-capacity scene, like the reference's .tcb
+    load rebuilding pools at the snapshot's size (mpm.cpp:941-958)."""
     kw = {}
     for f in dataclasses.fields(cls_instance):
         key = f"{prefix}.{f.name}"
-        if key in data:
-            kw[f.name] = jnp.asarray(data[key])
+        if key not in data:
+            continue
+        a = jnp.asarray(data[key])
+        if grow_to is not None and a.shape[0] < grow_to:
+            cur = getattr(cls_instance, f.name)
+            a = jnp.concatenate([a, cur[a.shape[0]:]], axis=0)
+        kw[f.name] = a
     return dataclasses.replace(cls_instance, **kw)
 
 
@@ -66,10 +76,17 @@ def load_checkpoint(path: str, sim) -> None:
     meta = json.loads(bytes(data["meta_json"]).decode())
     if sim.particles is None:
         sim._finalize()
-    assert (
-        sim.particles.capacity == data["p.x"].shape[0]
-    ), "scene capacity differs from checkpoint"
-    sim.particles = _restore(sim.particles, "p", data)
+    snap_cap = data["p.x"].shape[0]
+    if sim.particles.capacity < snap_cap:
+        raise ValueError(
+            f"scene capacity {sim.particles.capacity} is smaller than the "
+            f"checkpoint's {snap_cap}; rebuild the scene with at least the "
+            "snapshot capacity"
+        )
+    sim.particles = _restore(
+        sim.particles, "p", data, grow_to=sim.particles.capacity
+    )
+    sim._pcarry = None
     if meta["has_bodies"]:
         assert sim.bodies is not None, "checkpoint has rigid bodies; scene does not"
         sim.bodies = _restore(sim.bodies, "b", data)

@@ -262,7 +262,7 @@ def prep_packed(st, keys, cfg: SimConfig, dt):
     """Build the P2G operand (16, Pw + CHUNK) from packed state rows
     (same values as ops.substep.prep_p2g: mv(3), mass, fused affine
     A(9), block-local pos(3))."""
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
     invD = inv_D(cfg.kernel_order)
     act = row(st, RACT, pw) > 0.5
     ox, oy, oz = _origin_rows(keys, cfg)
@@ -495,7 +495,7 @@ def packed_substep_presorted(
             st, pm, t, cfg, colliders, dt, interpret=interpret
         )
     K = pm["ids"].shape[0]
-    pw = st.shape[0] // NCH
+    pw = state_width(st)
 
     pdata, (px, py, pz) = prep_packed(st, keys, cfg, dt)
     p2g = p2g_blocked_batched if K % BATCH == 0 else p2g_blocked

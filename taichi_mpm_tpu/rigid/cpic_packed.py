@@ -360,6 +360,11 @@ def cpic_packed_frame_carry(
     over the persistent packed carry. Returns (carry, bodies, t, max
     n_act, max n_near, max n_coarse, max n_r, n_sorts, plast).
 
+    SINGLE-CHIP ONLY: the drift/need predicates of the two
+    lax.while_loops are per-shard data, not collective — reusing this
+    frame under shard_map would let shards disagree on trip counts.
+    The multichip CPIC frames keep their own pmax'd loops.
+
     Loop structure: TWO-LEVEL, like ops/packed.packed_frame_carry —
     the inner while runs pure coupled substeps until drift crosses the
     0.45-cell lazy-sort bound; the outer loop re-sorts and re-enters.

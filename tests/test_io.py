@@ -100,7 +100,7 @@ class TestCheckpoint:
         np.testing.assert_array_equal(xa, xb)
         np.testing.assert_array_equal(ba, bb)
 
-    def test_capacity_mismatch_raises(self, tmp_path):
+    def test_capacity_too_small_raises(self, tmp_path):
         from taichi_mpm_tpu.core.solver import MPM
 
         path = str(tmp_path / "ckpt.npz")
@@ -109,8 +109,35 @@ class TestCheckpoint:
         a.save(path)
         c = MPM(res=(32, 32))
         c.add_particles("jelly", pos=np.full((5, 2), 0.5), E=1e4, nu=0.3)
-        with pytest.raises(AssertionError, match="capacity"):
+        with pytest.raises(ValueError, match="capacity"):
             c.load(path)
+
+    def test_resume_into_grown_capacity(self, tmp_path):
+        """A snapshot resumes bitwise into a LARGER-capacity scene (the
+        natural move after hitting the capacity RuntimeError); extra
+        slots stay inactive and free for injection (mpm.cpp:941-958
+        rebuilds pools at whatever size the snapshot holds)."""
+        path = str(tmp_path / "ckpt.npz")
+        a = self._scene()
+        for _ in range(3):
+            a.step()
+        a.save(path)
+        snap_cap = a.particles.capacity
+        for _ in range(3):
+            a.step()
+        xa = a.positions()
+
+        b = self._scene()
+        b.capacity = 2 * snap_cap
+        b.load(path)
+        assert b.particles.capacity == 2 * snap_cap
+        assert int(np.sum(np.asarray(b.particles.active))) == int(
+            np.sum(np.asarray(a.particles.active))
+        )
+        for _ in range(3):
+            b.step()
+        xb = b.positions()
+        np.testing.assert_array_equal(xa, xb)
 
 
 class TestRigidMeshOutput:
