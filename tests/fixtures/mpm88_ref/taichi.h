@@ -30,6 +30,15 @@ inline T clamp(T v, T lo, T hi) {
   return std::max(lo, std::min(hi, v));
 }
 
+// compile-time integer power (taichi's pow<N>; used by tetris.cpp for
+// pow<1>(Jp) and pow<2>(n/80.0))
+template <int N, typename T>
+inline T pow(T v) {
+  T r = T(1);
+  for (int i = 0; i < N; i++) r *= v;
+  return r;
+}
+
 // deterministic RNG for Vec::rand() — fixture reproducibility
 inline std::mt19937 &rng_() {
   static std::mt19937 gen(42u);
