@@ -314,6 +314,21 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     pps = n_particles * substeps / best
+    # HBM bandwidth utilization (BASELINE.md "speed-of-light" row):
+    # the NON-REDUCIBLE state traffic per substep on the fused path is
+    # 3 full state passes — P2G reads (48ch x 4B x N), G2P reads and
+    # writes in place — i.e. 576 N bytes; grid-side traffic (halo tiles
+    # + windows, ~35 KB x K blocks x 4 passes) is counted too since no
+    # formulation avoids materializing the block records once. Achieved
+    # GB/s = that traffic / measured substep time, vs the v5e chip peak
+    # (~819 GB/s). This is a LOWER bound on achieved bandwidth (extra
+    # copies the implementation still performs are not credited).
+    K_blocks = (cells // 4 + 3) ** 3  # dilated occupancy estimate
+    state_bytes = 3 * 192 * n_particles
+    grid_bytes = K_blocks * (2 * 5488 + 2 * 12288)
+    sub_s = best / substeps
+    bw = (state_bytes + grid_bytes) / sub_s / 1e9
+    peak = 819.0  # v5e HBM GB/s
     print(
         json.dumps(
             {
@@ -322,6 +337,9 @@ def main():
                 "unit": "particle-steps/s/chip",
                 "vs_baseline": pps / (1e9 / 8),
                 "fused": sim.fused,
+                "ms_per_substep": sub_s * 1e3,
+                "state_bw_gbps": round(bw, 1),
+                "pct_of_peak_bw": round(100.0 * bw / peak, 1),
                 # the target is a v5p-8 aggregate; this run is ONE v5e
                 # chip (~1/3.4 the HBM bandwidth of a v5p chip), so
                 # vs_baseline compares against the per-chip share

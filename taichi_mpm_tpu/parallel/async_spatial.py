@@ -189,8 +189,10 @@ def build_bucketed_spatial_frame(
                 p2.active, blocked.block_id_of(x_loc, lcfg), total_l
             )
             p2, lkeys, _ = sort_particles_by_keys(p2, lkeys)
+            # flat form: the bucketed tick loop's compaction/backup
+            # machinery (ops/async_bucketed) is still flat-indexed
             st, keys_pw, pm = _pack_with_origins(p2, lkeys, off_cells,
-                                                 lcfg, K)
+                                                 lcfg, K, two_d=False)
             lev = _slot_levels_sharded(
                 st, keys_pw, pm, cfg, lcfg, unit_dt, axis, n_shards, Wb,
                 strength_dt_mul, cfl_dt_mul,

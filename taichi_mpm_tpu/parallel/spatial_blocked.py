@@ -463,7 +463,8 @@ def build_spatial_cpic_packed_frame(
                                             n_shards, Wb)
             return zero_domain_edge_ghosts(rec, pm_cell[0], lcfg, s, n_shards)
 
-        def resort(st):
+        def resort_fn(st, extra):
+            bodies, need_max, na, nn, nc, nr = extra
             p2 = packed.unpack_particles(st, cap)
             p2, needed = migrate(p2, s, axis, cfg, n_shards, budget,
                                  count_only_overflow=False)
@@ -471,12 +472,12 @@ def build_spatial_cpic_packed_frame(
             p2, keys, _ = sort_particles_by_keys(p2, keys)
             st, keys_pw, pm = _pack_with_origins(p2, keys, off_cells,
                                                  lcfg, K)
-            return st, keys_pw, pm, needed
+            extra = (bodies, jnp.maximum(need_max, needed),
+                     jnp.maximum(na, pm["n_act"]), nn, nc, nr)
+            return st, keys_pw, pm, extra
 
-        st, keys, pm, needed0 = resort(packed.pack_particles(p))
-
-        def body(carry, _):
-            st, keys, pm, bodies, drift, t, need_max, na, nn, nc, nr = carry
+        def substep_fn(st, keys, pm, extra, t):
+            bodies, need_max, na, nn, nc, nr = extra
             pm_cell[0] = pm
             (st, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
                 cpic_packed_substep_presorted(
@@ -486,28 +487,19 @@ def build_spatial_cpic_packed_frame(
                     exchange_fn=exchange,
                 )
             )
-            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
-            need = jax.lax.pmax(drift, axis) >= 0.45
+            extra = (bodies, need_max, na, jnp.maximum(nn, n_near),
+                     jnp.maximum(nc, n_coarse), jnp.maximum(nr, n_r))
+            dinc = cfg.base_dt * cfg.inv_dx * jax.lax.pmax(vmax, axis)
+            return st, extra, t, dinc
 
-            def do_resort(st):
-                return resort(jax.lax.optimization_barrier(st))
-
-            def keep(st):
-                return st, keys, pm, jnp.int32(0)
-
-            st, keys2, pm2, needed = jax.lax.cond(need, do_resort, keep, st)
-            drift = jnp.where(need, 0.0, drift)
-            return (st, keys2, pm2, bodies, drift, t,
-                    jnp.maximum(need_max, needed),
-                    jnp.maximum(na, pm["n_act"]),
-                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
-                    jnp.maximum(nr, n_r)), None
-
-        carry = (st, keys, pm, bodies, jnp.float32(0.0), t, needed0,
-                 pm["n_act"], jnp.int32(0), jnp.int32(0), jnp.int32(0))
-        (st, keys, pm, bodies, _, t, need_max, na, nn, nc, nr), _ = (
-            jax.lax.scan(body, carry, None, length=n_substeps)
+        z = jnp.int32(0)
+        st, keys, pm, extra = resort_fn(
+            packed.pack_particles(p), (bodies, z, z, z, z, z)
         )
+        st, keys, pm, extra, t = _two_level_loop(
+            st, keys, pm, extra, t, n_substeps, substep_fn, resort_fn
+        )
+        bodies, need_max, na, nn, nc, nr = extra
         return (
             packed.unpack_particles(st, cap), bodies, t,
             jax.lax.pmax(need_max, axis), jax.lax.pmax(na, axis),
@@ -890,7 +882,8 @@ def build_spatial_cpic_packed_balanced_frame(
                                             n_shards, pm_cell[1])
             return zero_domain_edge_ghosts(rec, pm_cell[0], lcfg, s, n_shards)
 
-        def resort(st, bounds, hist):
+        def resort_fn(st, extra):
+            bounds, hist, bodies, need_max, na, nn, nc, nr = extra
             bounds = rebalance_bounds(hist, bounds, uniform, r, n_shards)
             p2 = packed.unpack_particles(st, cap)
             dest = _dest_from_bounds(p2, bounds, cfg, n_shards)
@@ -908,15 +901,12 @@ def build_spatial_cpic_packed_balanced_frame(
             st, keys_pw, pm = _pack_with_origins(p2, keys, off_cells,
                                                  lcfg, K)
             hist = col_hist_from_pm(pm, bounds[s], lcfg, CB, axis)
-            return st, keys_pw, pm, bounds, hist, needed
+            extra = (bounds, hist, bodies, jnp.maximum(need_max, needed),
+                     jnp.maximum(na, pm["n_act"]), nn, nc, nr)
+            return st, keys_pw, pm, extra
 
-        st, keys, pm, bounds, hist, needed0 = resort(
-            packed.pack_particles(p), bounds, hist
-        )
-
-        def body(carry, _):
-            (st, keys, pm, bounds, hist, bodies, drift, t, need_max, na,
-             nn, nc, nr) = carry
+        def substep_fn(st, keys, pm, extra, t):
+            bounds, hist, bodies, need_max, na, nn, nc, nr = extra
             off_cells = ((bounds[s] - 1) * 4).astype(jnp.float32)
             xoff = off_cells * cfg.dx
             world_off = jnp.stack(
@@ -933,34 +923,21 @@ def build_spatial_cpic_packed_balanced_frame(
                     exchange_fn=exchange,
                 )
             )
-            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
-            need = jax.lax.pmax(drift, axis) >= 0.45
+            extra = (bounds, hist, bodies, need_max, na,
+                     jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                     jnp.maximum(nr, n_r))
+            dinc = cfg.base_dt * cfg.inv_dx * jax.lax.pmax(vmax, axis)
+            return st, extra, t, dinc
 
-            def do_resort(args):
-                st, bounds, hist = args
-                return resort(
-                    jax.lax.optimization_barrier(st), bounds, hist
-                )
-
-            def keep(args):
-                st, bounds, hist = args
-                return st, keys, pm, bounds, hist, jnp.int32(0)
-
-            st, keys2, pm2, bounds, hist, needed = jax.lax.cond(
-                need, do_resort, keep, (st, bounds, hist)
-            )
-            drift = jnp.where(need, 0.0, drift)
-            return (st, keys2, pm2, bounds, hist, bodies, drift, t,
-                    jnp.maximum(need_max, needed),
-                    jnp.maximum(na, pm["n_act"]),
-                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
-                    jnp.maximum(nr, n_r)), None
-
-        carry = (st, keys, pm, bounds, hist, bodies, jnp.float32(0.0), t,
-                 needed0, pm["n_act"], jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0))
-        (st, keys, pm, bounds, hist, bodies, _, t, need_max, na, nn, nc,
-         nr), _ = jax.lax.scan(body, carry, None, length=n_substeps)
+        z = jnp.int32(0)
+        st, keys, pm, extra = resort_fn(
+            packed.pack_particles(p),
+            (bounds, hist, bodies, z, z, z, z, z),
+        )
+        st, keys, pm, extra, t = _two_level_loop(
+            st, keys, pm, extra, t, n_substeps, substep_fn, resort_fn
+        )
+        bounds, hist, bodies, need_max, na, nn, nc, nr = extra
         return (
             packed.unpack_particles(st, cap), bodies, t, bounds, hist,
             jax.lax.pmax(need_max, axis), jax.lax.pmax(na, axis),
@@ -1056,13 +1033,19 @@ def run_spatial_cpic_packed_balanced_frames(
 
 
 def _pack_with_origins(p2: Particles, keys, off_cells, lcfg: SimConfig,
-                       K: int):
+                       K: int, two_d: bool = True):
     """Pack a locally-sorted pytree, pad its keys, annotate the RORG
     origin rows in GLOBAL grid units (local block origin + shard
     offset, so the fused kernels see single-chip coordinates against
     the global positions in the carry), and build the local page map.
     `off_cells` is the shard's x-offset, or an (x, y) pair for pencil
-    meshes."""
+    meshes.
+
+    two_d=True (production) returns the (NCH, Pw) state form — the
+    fused kernels' native layout, so the frame loop carries no
+    per-substep flat<->2-D relayout (a ~77 ms copy at 8M, see
+    ops.packed.fused_substep_presorted). The relayout-free reshape here
+    runs once per RESORT, amortized like the sort itself."""
     from taichi_mpm_tpu.ops import packed
     from taichi_mpm_tpu.ops.rows import NCH, RORG
 
@@ -1079,11 +1062,77 @@ def _pack_with_origins(p2: Particles, keys, off_cells, lcfg: SimConfig,
     ox = ox + off_cells[0]
     if off_cells[1] is not None:
         oy = oy + off_cells[1]
-    st = jax.lax.dynamic_update_slice(
-        st, jnp.concatenate([ox, oy, oz]), (RORG * pw,)
-    )
+    if two_d:
+        st = jax.lax.dynamic_update_slice(
+            st.reshape(NCH, pw), jnp.stack([ox, oy, oz]), (RORG, 0)
+        )
+    else:
+        st = jax.lax.dynamic_update_slice(
+            st, jnp.concatenate([ox, oy, oz]), (RORG * pw,)
+        )
     pm = packed.build_page_map_packed(keys_pw, lcfg, K)
     return st, keys_pw, pm
+
+
+def _two_level_loop(st, keys, pm, extra, t, n_substeps, substep_fn,
+                    resort_fn):
+    """TWO-LEVEL multichip frame loop — the shard_map twin of
+    ops.packed.packed_frame_carry's structure (commit 049ff4b): the
+    inner while runs pure substeps until the 0.45-cell drift bound
+    breaks, the outer loop re-sorts and re-enters. This removes the
+    per-substep resort lax.cond the old scan bodies carried, whose
+    untaken identity branch still copies the full state and flips the
+    carry layout (~17 ms/substep at 8M, measured single-chip).
+
+    Collective discipline: every loop predicate derives from values all
+    shards agree on — substep_fn must return a GLOBALLY-REDUCED drift
+    increment (pmax over the mesh axes) — so every shard runs identical
+    trip counts and the collectives inside substep_fn/resort_fn stay
+    lockstep (the same invariant parallel/async_spatial's tick loop
+    rests on). The (substep, resort) event sequence is identical to the
+    single-level scan.
+
+    substep_fn(st, keys, pm, extra, t) -> (st, extra, t, drift_inc);
+    resort_fn(st, extra) -> (st, keys, pm, extra), folding its own
+    stats (migration overflow, n_act maxima) into extra.
+    Returns (st, keys, pm, extra, t)."""
+
+    def inner_cond(c):
+        _st, _keys, _pm, _extra, drift, _t, n = c
+        return (n < n_substeps) & (drift < 0.45)
+
+    def inner_body(c):
+        st, keys, pm, extra, drift, t, n = c
+        st, extra, t, dinc = substep_fn(st, keys, pm, extra, t)
+        return (st, keys, pm, extra, drift + dinc, t, n + 1)
+
+    def outer_cond(c):
+        _st, _keys, _pm, _extra, drift, _t, n = c
+        return (n < n_substeps) | (drift >= 0.45)
+
+    def outer_body(c):
+        st, keys, pm, extra, drift, t, n = jax.lax.while_loop(
+            inner_cond, inner_body, c
+        )
+        need = drift >= 0.45
+
+        def do_resort(args):
+            st, extra = args
+            return resort_fn(jax.lax.optimization_barrier(st), extra)
+
+        def keep(args):
+            st, extra = args
+            return st, keys, pm, extra
+
+        st, keys, pm, extra = jax.lax.cond(need, do_resort, keep, (st, extra))
+        drift = jnp.where(need, 0.0, drift)
+        return (st, keys, pm, extra, drift, t, n)
+
+    st, keys, pm, extra, _, t, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (st, keys, pm, extra, jnp.float32(0.0), t, jnp.int32(0)),
+    )
+    return st, keys, pm, extra, t
 
 
 def build_spatial_packed_frame(
@@ -1130,7 +1179,8 @@ def build_spatial_packed_frame(
                 return ((bounds[s] - 1) * 4).astype(jnp.float32)
             return shard_offset_cells(s, cfg, n_shards)
 
-        def resort(st, bounds, hist):
+        def resort_fn(st, extra):
+            bounds, hist, need_max, na = extra
             p2 = packed.unpack_particles(st, cap)
             if balanced:
                 bounds = rebalance_bounds(hist, bounds, uniform, r, n_shards)
@@ -1152,47 +1202,32 @@ def build_spatial_packed_frame(
                                                  lcfg, K)
             if balanced:
                 hist = col_hist_from_pm(pm, bounds[s], lcfg, CB, axis)
-            return st, keys_pw, pm, bounds, hist, needed
+            extra = (bounds, hist, jnp.maximum(need_max, needed),
+                     jnp.maximum(na, pm["n_act"]))
+            return st, keys_pw, pm, extra
 
-        st, keys, pm, bounds, hist, needed0 = resort(
-            packed.pack_particles(p), bounds, hist
-        )
-
-        def body(carry, _):
-            st, keys, pm, bounds, hist, drift, t, need_max, na = carry
+        def substep_fn(st, keys, pm, extra, t):
+            bounds = extra[0]
             off_cells = off_of(bounds)
             pm_cell[0] = pm
             pm_cell[1] = (bounds[s + 1] - bounds[s]) if balanced else Wb
             gcolls = shifted_colliders(colliders, off_cells * cfg.dx)
-            (st, t), n_act, vmax, _ = packed.fused_substep_presorted(
+            (st, t), _, vmax, _ = packed.fused_substep_presorted(
                 st, pm, t, cfg, colliders, cfg.base_dt,
                 interpret=interpret, gcfg=lcfg, grid_colliders=gcolls,
                 exchange_fn=exchange,
             )
-            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
-            need = jax.lax.pmax(drift, axis) >= 0.45
+            dinc = cfg.base_dt * cfg.inv_dx * jax.lax.pmax(vmax, axis)
+            return st, extra, t, dinc
 
-            def do_resort(args):
-                st, bounds, hist = args
-                return resort(jax.lax.optimization_barrier(st), bounds, hist)
-
-            def keep(args):
-                st, bounds, hist = args
-                return st, keys, pm, bounds, hist, jnp.int32(0)
-
-            st, keys2, pm2, bounds, hist, needed = jax.lax.cond(
-                need, do_resort, keep, (st, bounds, hist)
-            )
-            drift = jnp.where(need, 0.0, drift)
-            return (st, keys2, pm2, bounds, hist, drift, t,
-                    jnp.maximum(need_max, needed),
-                    jnp.maximum(na, n_act)), None
-
-        carry = (st, keys, pm, bounds, hist, jnp.float32(0.0), t,
-                 needed0, pm["n_act"])
-        (st, keys, pm, bounds, hist, _, t, need_max, n_act), _ = (
-            jax.lax.scan(body, carry, None, length=n_substeps)
+        st, keys, pm, extra = resort_fn(
+            packed.pack_particles(p),
+            (bounds, hist, jnp.int32(0), jnp.int32(0)),
         )
+        st, keys, pm, extra, t = _two_level_loop(
+            st, keys, pm, extra, t, n_substeps, substep_fn, resort_fn
+        )
+        bounds, hist, need_max, n_act = extra
         out = (packed.unpack_particles(st, cap), t)
         if balanced:
             out = out + (bounds, hist)

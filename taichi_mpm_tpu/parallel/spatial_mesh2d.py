@@ -856,7 +856,10 @@ def build_spatial_packed_mesh2d_frame(
     build_spatial_mesh2d_frame; equal to the single-chip fused frame
     (differential-tested)."""
     from taichi_mpm_tpu.ops import packed
-    from taichi_mpm_tpu.parallel.spatial_blocked import _pack_with_origins
+    from taichi_mpm_tpu.parallel.spatial_blocked import (
+        _pack_with_origins,
+        _two_level_loop,
+    )
 
     Sx, Sy = mesh.shape["x"], mesh.shape["y"]
     shards = (Sx, Sy)
@@ -878,7 +881,8 @@ def build_spatial_packed_mesh2d_frame(
             rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sx, Sx, 0)
             return _zero_edge_ghosts(rec, pm_cell[0], lcfg, sy, Sy, 1)
 
-        def resort(st):
+        def resort_fn(st, extra):
+            need_max, na = extra
             p2 = packed.unpack_particles(st, cap)
             p2, need_x = _migrate_axis(p2, sx, "x", cfg, 0, Sx, Wx, budget)
             p2, need_y = _migrate_axis(p2, sy, "y", cfg, 1, Sy, Wy, budget)
@@ -887,40 +891,33 @@ def build_spatial_packed_mesh2d_frame(
             st, keys_pw, pm = _pack_with_origins(
                 p2, keys, (offx, offy), lcfg, K
             )
-            return st, keys_pw, pm, jnp.maximum(need_x, need_y)
+            extra = (
+                jnp.maximum(need_max, jnp.maximum(need_x, need_y)),
+                jnp.maximum(na, pm["n_act"]),
+            )
+            return st, keys_pw, pm, extra
 
-        st, keys, pm, needed0 = resort(packed.pack_particles(p))
-
-        def body(carry, _):
-            st, keys, pm, drift, t, need_max, na = carry
+        def substep_fn(st, keys, pm, extra, t):
             pm_cell[0] = pm
             gcolls = shifted_colliders_xy(
                 colliders, offx * cfg.dx, offy * cfg.dx
             )
-            (st, t), n_act, vmax, _ = packed.fused_substep_presorted(
+            (st, t), _, vmax, _ = packed.fused_substep_presorted(
                 st, pm, t, cfg, colliders, cfg.base_dt,
                 interpret=interpret, gcfg=lcfg, grid_colliders=gcolls,
                 exchange_fn=exchange,
             )
-            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
-            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+            dinc = cfg.base_dt * cfg.inv_dx * jax.lax.pmax(
+                jax.lax.pmax(vmax, "x"), "y"
+            )
+            return st, extra, t, dinc
 
-            def do_resort(st):
-                return resort(jax.lax.optimization_barrier(st))
-
-            def keep(st):
-                return st, keys, pm, jnp.int32(0)
-
-            st, keys, pm, needed = jax.lax.cond(need, do_resort, keep, st)
-            drift = jnp.where(need, 0.0, drift)
-            return (st, keys, pm, drift, t,
-                    jnp.maximum(need_max, needed),
-                    jnp.maximum(na, n_act)), None
-
-        carry = (st, keys, pm, jnp.float32(0.0), t, needed0, pm["n_act"])
-        (st, keys, pm, _, t, need_max, n_act), _ = jax.lax.scan(
-            body, carry, None, length=n_substeps
+        z = jnp.int32(0)
+        st, keys, pm, extra = resort_fn(packed.pack_particles(p), (z, z))
+        st, keys, pm, extra, t = _two_level_loop(
+            st, keys, pm, extra, t, n_substeps, substep_fn, resort_fn
         )
+        need_max, n_act = extra
         pmx = jax.lax.pmax(jax.lax.pmax(need_max, "x"), "y")
         nax = jax.lax.pmax(jax.lax.pmax(n_act, "x"), "y")
         return packed.unpack_particles(st, cap), t, pmx, nax
@@ -956,7 +953,10 @@ def build_spatial_cpic_packed_mesh2d_frame(
     build_spatial_cpic_packed_frame. Same signature/returns as
     build_spatial_cpic_mesh2d_frame."""
     from taichi_mpm_tpu.ops import packed
-    from taichi_mpm_tpu.parallel.spatial_blocked import _pack_with_origins
+    from taichi_mpm_tpu.parallel.spatial_blocked import (
+        _pack_with_origins,
+        _two_level_loop,
+    )
     from taichi_mpm_tpu.rigid.cpic_packed import (
         cpic_packed_substep_presorted,
     )
@@ -987,7 +987,8 @@ def build_spatial_cpic_packed_mesh2d_frame(
             rec = _zero_edge_ghosts(rec, pm_cell[0], lcfg, sx, Sx, 0)
             return _zero_edge_ghosts(rec, pm_cell[0], lcfg, sy, Sy, 1)
 
-        def resort(st):
+        def resort_fn(st, extra):
+            bodies, need_max, na, nn, nc, nr = extra
             p2 = packed.unpack_particles(st, cap)
             p2, need_x = _migrate_axis(p2, sx, "x", cfg, 0, Sx, Wx, budget)
             p2, need_y = _migrate_axis(p2, sy, "y", cfg, 1, Sy, Wy, budget)
@@ -996,12 +997,15 @@ def build_spatial_cpic_packed_mesh2d_frame(
             st, keys_pw, pm = _pack_with_origins(
                 p2, keys, (offx, offy), lcfg, K
             )
-            return st, keys_pw, pm, jnp.maximum(need_x, need_y)
+            extra = (
+                bodies,
+                jnp.maximum(need_max, jnp.maximum(need_x, need_y)),
+                jnp.maximum(na, pm["n_act"]), nn, nc, nr,
+            )
+            return st, keys_pw, pm, extra
 
-        st, keys, pm, needed0 = resort(packed.pack_particles(p))
-
-        def body(carry, _):
-            st, keys, pm, bodies, drift, t, need_max, na, nn, nc, nr = carry
+        def substep_fn(st, keys, pm, extra, t):
+            bodies, need_max, na, nn, nc, nr = extra
             pm_cell[0] = pm
             (st, bodies, t), n_near, n_coarse, n_r, vmax, _ = (
                 cpic_packed_substep_presorted(
@@ -1011,28 +1015,21 @@ def build_spatial_cpic_packed_mesh2d_frame(
                     grid_colliders=gcolls, exchange_fn=exchange,
                 )
             )
-            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
-            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
+            extra = (bodies, need_max, na, jnp.maximum(nn, n_near),
+                     jnp.maximum(nc, n_coarse), jnp.maximum(nr, n_r))
+            dinc = cfg.base_dt * cfg.inv_dx * jax.lax.pmax(
+                jax.lax.pmax(vmax, "x"), "y"
+            )
+            return st, extra, t, dinc
 
-            def do_resort(st):
-                return resort(jax.lax.optimization_barrier(st))
-
-            def keep(st):
-                return st, keys, pm, jnp.int32(0)
-
-            st, keys2, pm2, needed = jax.lax.cond(need, do_resort, keep, st)
-            drift = jnp.where(need, 0.0, drift)
-            return (st, keys2, pm2, bodies, drift, t,
-                    jnp.maximum(need_max, needed),
-                    jnp.maximum(na, pm["n_act"]),
-                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
-                    jnp.maximum(nr, n_r)), None
-
-        carry = (st, keys, pm, bodies, jnp.float32(0.0), t, needed0,
-                 pm["n_act"], jnp.int32(0), jnp.int32(0), jnp.int32(0))
-        (st, keys, pm, bodies, _, t, need_max, na, nn, nc, nr), _ = (
-            jax.lax.scan(body, carry, None, length=n_substeps)
+        z = jnp.int32(0)
+        st, keys, pm, extra = resort_fn(
+            packed.pack_particles(p), (bodies, z, z, z, z, z)
         )
+        st, keys, pm, extra, t = _two_level_loop(
+            st, keys, pm, extra, t, n_substeps, substep_fn, resort_fn
+        )
+        bodies, need_max, na, nn, nc, nr = extra
 
         def pmax2(v):
             return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
@@ -1076,6 +1073,7 @@ def build_spatial_cpic_packed_balanced_mesh2d_frame(
     from taichi_mpm_tpu.ops import packed
     from taichi_mpm_tpu.parallel.spatial_blocked import (
         _pack_with_origins,
+        _two_level_loop,
         rebalance_bounds,
     )
     from taichi_mpm_tpu.rigid.cpic_packed import (
@@ -1106,7 +1104,8 @@ def build_spatial_cpic_packed_balanced_mesh2d_frame(
             return (((bx[sx] - 1) * 4).astype(jnp.float32),
                     ((by[sy] - 1) * 4).astype(jnp.float32))
 
-        def resort(st, bx, by, hx, hy):
+        def resort_fn(st, extra):
+            bx, by, hx, hy, bodies, need_max, na, nn, nc, nr = extra
             bx = rebalance_bounds(hx, bx, ux, rx, Sx)
             by = rebalance_bounds(hy, by, uy, ry, Sy)
             p2 = packed.unpack_particles(st, cap)
@@ -1123,17 +1122,15 @@ def build_spatial_cpic_packed_balanced_mesh2d_frame(
                 p2, keys, (offx, offy), lcfg, K
             )
             hx, hy = col_hists2d_from_pm(pm, bx[sx], by[sy], lcfg, CBx, CBy)
-            return st, keys_pw, pm, bx, by, hx, hy, jnp.maximum(
-                need_x, need_y
+            extra = (
+                bx, by, hx, hy, bodies,
+                jnp.maximum(need_max, jnp.maximum(need_x, need_y)),
+                jnp.maximum(na, pm["n_act"]), nn, nc, nr,
             )
+            return st, keys_pw, pm, extra
 
-        st, keys, pm, bx, by, hx, hy, needed0 = resort(
-            packed.pack_particles(p), bx, by, hx, hy
-        )
-
-        def body(carry, _):
-            (st, keys, pm, bx, by, hx, hy, bodies, drift, t, need_max,
-             na, nn, nc, nr) = carry
+        def substep_fn(st, keys, pm, extra, t):
+            bx, by, hx, hy, bodies, need_max, na, nn, nc, nr = extra
             offx, offy = offs_of(bx, by)
             world_off = jnp.stack(
                 [offx * cfg.dx, offy * cfg.dx, jnp.zeros_like(offx)]
@@ -1152,34 +1149,23 @@ def build_spatial_cpic_packed_balanced_mesh2d_frame(
                     grid_colliders=gcolls, exchange_fn=exchange,
                 )
             )
-            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
-            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
-
-            def do_resort(args):
-                st, bx, by, hx, hy = args
-                return resort(
-                    jax.lax.optimization_barrier(st), bx, by, hx, hy
-                )
-
-            def keep(args):
-                st, bx, by, hx, hy = args
-                return st, keys, pm, bx, by, hx, hy, jnp.int32(0)
-
-            st, keys2, pm2, bx, by, hx, hy, needed = jax.lax.cond(
-                need, do_resort, keep, (st, bx, by, hx, hy)
+            extra = (bx, by, hx, hy, bodies, need_max, na,
+                     jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
+                     jnp.maximum(nr, n_r))
+            dinc = cfg.base_dt * cfg.inv_dx * jax.lax.pmax(
+                jax.lax.pmax(vmax, "x"), "y"
             )
-            drift = jnp.where(need, 0.0, drift)
-            return (st, keys2, pm2, bx, by, hx, hy, bodies, drift, t,
-                    jnp.maximum(need_max, needed),
-                    jnp.maximum(na, pm["n_act"]),
-                    jnp.maximum(nn, n_near), jnp.maximum(nc, n_coarse),
-                    jnp.maximum(nr, n_r)), None
+            return st, extra, t, dinc
 
-        carry = (st, keys, pm, bx, by, hx, hy, bodies, jnp.float32(0.0),
-                 t, needed0, pm["n_act"], jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0))
-        (st, keys, pm, bx, by, hx, hy, bodies, _, t, need_max, na, nn,
-         nc, nr), _ = jax.lax.scan(body, carry, None, length=n_substeps)
+        z = jnp.int32(0)
+        st, keys, pm, extra = resort_fn(
+            packed.pack_particles(p),
+            (bx, by, hx, hy, bodies, z, z, z, z, z),
+        )
+        st, keys, pm, extra, t = _two_level_loop(
+            st, keys, pm, extra, t, n_substeps, substep_fn, resort_fn
+        )
+        bx, by, hx, hy, bodies, need_max, na, nn, nc, nr = extra
 
         def pmax2(v):
             return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
@@ -1288,6 +1274,7 @@ def build_spatial_packed_balanced_mesh2d_frame(
     from taichi_mpm_tpu.ops import packed
     from taichi_mpm_tpu.parallel.spatial_blocked import (
         _pack_with_origins,
+        _two_level_loop,
         rebalance_bounds,
     )
 
@@ -1315,7 +1302,8 @@ def build_spatial_packed_balanced_mesh2d_frame(
             return (((bx[sx] - 1) * 4).astype(jnp.float32),
                     ((by[sy] - 1) * 4).astype(jnp.float32))
 
-        def resort(st, bx, by, hx, hy):
+        def resort_fn(st, extra):
+            bx, by, hx, hy, need_max, na = extra
             bx = rebalance_bounds(hx, bx, ux, rx, Sx)
             by = rebalance_bounds(hy, by, uy, ry, Sy)
             p2 = packed.unpack_particles(st, cap)
@@ -1332,16 +1320,15 @@ def build_spatial_packed_balanced_mesh2d_frame(
                 p2, keys, (offx, offy), lcfg, K
             )
             hx, hy = col_hists2d_from_pm(pm, bx[sx], by[sy], lcfg, CBx, CBy)
-            return st, keys_pw, pm, bx, by, hx, hy, jnp.maximum(
-                need_x, need_y
+            extra = (
+                bx, by, hx, hy,
+                jnp.maximum(need_max, jnp.maximum(need_x, need_y)),
+                jnp.maximum(na, pm["n_act"]),
             )
+            return st, keys_pw, pm, extra
 
-        st, keys, pm, bx, by, hx, hy, needed0 = resort(
-            packed.pack_particles(p), bx, by, hx, hy
-        )
-
-        def body(carry, _):
-            st, keys, pm, bx, by, hx, hy, drift, t, need_max, na = carry
+        def substep_fn(st, keys, pm, extra, t):
+            bx, by, hx, hy, need_max, na = extra
             offx, offy = offs_of(bx, by)
             pm_cell[0] = pm
             pm_cell[1] = bx[sx + 1] - bx[sx]
@@ -1349,37 +1336,24 @@ def build_spatial_packed_balanced_mesh2d_frame(
             gcolls = shifted_colliders_xy(
                 colliders, offx * cfg.dx, offy * cfg.dx
             )
-            (st, t), n_act, vmax, _ = packed.fused_substep_presorted(
+            (st, t), _, vmax, _ = packed.fused_substep_presorted(
                 st, pm, t, cfg, colliders, cfg.base_dt,
                 interpret=interpret, gcfg=lcfg, grid_colliders=gcolls,
                 exchange_fn=exchange,
             )
-            drift = drift + cfg.base_dt * cfg.inv_dx * vmax
-            need = jax.lax.pmax(jax.lax.pmax(drift, "x"), "y") >= 0.45
-
-            def do_resort(args):
-                st, bx, by, hx, hy = args
-                return resort(
-                    jax.lax.optimization_barrier(st), bx, by, hx, hy
-                )
-
-            def keep(args):
-                st, bx, by, hx, hy = args
-                return st, keys, pm, bx, by, hx, hy, jnp.int32(0)
-
-            st, keys2, pm2, bx, by, hx, hy, needed = jax.lax.cond(
-                need, do_resort, keep, (st, bx, by, hx, hy)
+            dinc = cfg.base_dt * cfg.inv_dx * jax.lax.pmax(
+                jax.lax.pmax(vmax, "x"), "y"
             )
-            drift = jnp.where(need, 0.0, drift)
-            return (st, keys2, pm2, bx, by, hx, hy, drift, t,
-                    jnp.maximum(need_max, needed),
-                    jnp.maximum(na, n_act)), None
+            return st, extra, t, dinc
 
-        carry = (st, keys, pm, bx, by, hx, hy, jnp.float32(0.0), t,
-                 needed0, pm["n_act"])
-        (st, keys, pm, bx, by, hx, hy, _, t, need_max, n_act), _ = (
-            jax.lax.scan(body, carry, None, length=n_substeps)
+        z = jnp.int32(0)
+        st, keys, pm, extra = resort_fn(
+            packed.pack_particles(p), (bx, by, hx, hy, z, z)
         )
+        st, keys, pm, extra, t = _two_level_loop(
+            st, keys, pm, extra, t, n_substeps, substep_fn, resort_fn
+        )
+        bx, by, hx, hy, need_max, n_act = extra
 
         def pmax2(v):
             return jax.lax.pmax(jax.lax.pmax(v, "x"), "y")
