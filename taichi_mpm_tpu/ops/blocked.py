@@ -19,6 +19,9 @@ ever materialized.
 
 from __future__ import annotations
 
+import functools
+import os as _os
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -353,13 +356,26 @@ def _window_matrices():
 
 
 def _mm_hi(a, b):
-    """Selection matmul at BF16_BF16_F32_X3: the 0/1 matrix is exact in
-    bf16 and the 3-pass data split carries ~22 mantissa bits — measured
+    """Selection matmul in TWO bf16 passes: the 0/1 matrix is EXACT in
+    bf16 (its low split is identically zero), so of the classic 3-pass
+    split (ah bh + ah bl + al bh) only the data operand's split
+    survives: (ah + al) @ b — same ~22 data mantissa bits as the
+    BF16_BF16_F32_X3 preset used previously (whose ah@bl pass
+    multiplied by an all-zero matrix) at 2/3 the MXU work. Measured
     31x faster than the f32 HIGHEST path on v5e for these shapes."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3,
+    if _os.environ.get("TMT_MM2", "0") != "1":  # gate: 2-pass measured not faster than X3 at 8M (r4)
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3,
+        )
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    return d(ah, bh) + d(al, bh)
 
 
 def merge_tiles_mm27(tiles, nbr):

@@ -58,16 +58,20 @@ from taichi_mpm_tpu.math.kernels import inv_D
 from taichi_mpm_tpu.ops.g2p_pallas import (
     GTLANES,
     GTROWS,
+    _PRE2,
     window_accum,
 )
 from taichi_mpm_tpu.ops.p2g_pallas import (
     BATCH,
     CHUNK,
+    MMW,
     NJK,
     NOUT,
     NROW,
+    NSUB,
     NVAL,
-    _chunk_contrib,
+    _chunk_ops,
+    _hit_contrib_sub,
     tile_correct,
 )
 from taichi_mpm_tpu.ops.rows import (
@@ -258,14 +262,19 @@ def _p2g_fused_kernel(
     def accum_chunk(xt, ci):
         pd = _build_pd(xt, dt, cfg)
         c_lo = dstart + ci * CHUNK
-        for i in range(BATCH):
-            s = s_ref[base + i]
-            e = e_ref[base + i]
-            hit = (e > s) & (s < c_lo + CHUNK) & (e > c_lo)
+        val2, wyz_base = _chunk_ops(pd)
+        for h in range(NSUB):
+            h_lo = c_lo + h * MMW
+            for i in range(BATCH):
+                s = s_ref[base + i]
+                e = e_ref[base + i]
+                hit = (e > s) & (s < h_lo + MMW) & (e > h_lo)
 
-            @pl.when(hit)
-            def _(i=i, s=s, e=e):
-                acc_ref[i] = acc_ref[i] + _chunk_contrib(pd, s, e, c_lo)
+                @pl.when(hit)
+                def _(i=i, s=s, e=e, h=h):
+                    acc_ref[i] = acc_ref[i] + _hit_contrib_sub(
+                        val2, wyz_base, s, e, c_lo, h
+                    )
 
     @pl.when(nch > 0)
     def _():
@@ -342,8 +351,8 @@ def p2g_fused(s_arr, e_arr, st2d, dt, cfg, interpret: bool = False):
 
 
 def _g2p_fused_kernel(
-    dims_ref, first_ref, dt_ref, keys_ref, xt_ref, gt_first, gt_hbm,
-    out_ref, vmax_ref, plast_ref, tbuf, sem_t, *, cfg,
+    dims_ref, first_ref, dt_ref, keys_ref, xt_ref, gt_first, gt_second,
+    gt_hbm, out_ref, vmax_ref, plast_ref, tbuf, sem_t, *, cfg,
 ):
     K = dims_ref[0]
     dt = dt_ref[0]
@@ -352,7 +361,8 @@ def _g2p_fused_kernel(
     px = xt[RX : RX + 1, :] * cfg.inv_dx - xt[RORG : RORG + 1, :]
     py = xt[RX + 1 : RX + 2, :] * cfg.inv_dx - xt[RORG + 1 : RORG + 2, :]
     pz = xt[RX + 2 : RX + 3, :] * cfg.inv_dx - xt[RORG + 2 : RORG + 3, :]
-    acc = window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t)
+    acc = window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t,
+                       gt_second=gt_second)
     tile, vmax, plast = _finish_tile(xt, acc, dt, cfg)
     out_ref[:] = tile
     # vmax/plast live in SMEM whole-array refs: Mosaic rejects (1, 1)
@@ -393,6 +403,15 @@ def g2p_fused(keys2d, st2d, gtiles, nb_dims, dt, cfg, interpret: bool = False):
                 lambda q, dims, first: (first[q], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            *([
+                pl.BlockSpec(
+                    (1, GTROWS, GTLANES),
+                    lambda q, dims, first: (
+                        jnp.minimum(first[q] + 1, dims[0] - 1), 0, 0,
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+            ] if _PRE2 else []),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
@@ -407,11 +426,24 @@ def g2p_fused(keys2d, st2d, gtiles, nb_dims, dt, cfg, interpret: bool = False):
         ],
     )
 
-    def kernel(dims_ref, first_ref, dt_ref, keys_ref, xt_ref, gt_first_ref,
-               gt_hbm, out_ref, vmax_ref, plast_ref, tbuf, sem_t):
-        _g2p_fused_kernel(dims_ref, first_ref, dt_ref, keys_ref, xt_ref,
-                          gt_first_ref[0], gt_hbm, out_ref, vmax_ref,
-                          plast_ref, tbuf, sem_t, cfg=cfg)
+    if _PRE2:
+        def kernel(dims_ref, first_ref, dt_ref, keys_ref, xt_ref,
+                   gt_first_ref, gt_second_ref, gt_hbm, out_ref, vmax_ref,
+                   plast_ref, tbuf, sem_t):
+            _g2p_fused_kernel(dims_ref, first_ref, dt_ref, keys_ref, xt_ref,
+                              gt_first_ref[0], gt_second_ref[0], gt_hbm,
+                              out_ref, vmax_ref, plast_ref, tbuf, sem_t,
+                              cfg=cfg)
+        args = (nb_dims, first, dtv, keys2d, st2d, gtiles, gtiles, gtiles)
+    else:
+        def kernel(dims_ref, first_ref, dt_ref, keys_ref, xt_ref,
+                   gt_first_ref, gt_hbm, out_ref, vmax_ref, plast_ref,
+                   tbuf, sem_t):
+            _g2p_fused_kernel(dims_ref, first_ref, dt_ref, keys_ref, xt_ref,
+                              gt_first_ref[0], None, gt_hbm,
+                              out_ref, vmax_ref, plast_ref, tbuf, sem_t,
+                              cfg=cfg)
+        args = (nb_dims, first, dtv, keys2d, st2d, gtiles, gtiles)
 
     return pl.pallas_call(
         kernel,
@@ -426,4 +458,4 @@ def g2p_fused(keys2d, st2d, gtiles, nb_dims, dt, cfg, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(nb_dims, first, dtv, keys2d, st2d, gtiles, gtiles)
+    )(*args)

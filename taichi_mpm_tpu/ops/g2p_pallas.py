@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 from taichi_mpm_tpu.ops.blocked import TILE
 from taichi_mpm_tpu.ops.p2g_pallas import (
     CHUNK,
+    MMW,
     NJK,
+    NSUB,
+    _HI,
+    _X6,
     _axis_weights_T,
     _wyzT,
     transfer_dot,
@@ -44,8 +48,68 @@ GTROWS = 24  # padded tile rows
 GTLANES = 128  # padded tile lanes (49 live)
 NOUTP = 16  # output rows per particle: v(3) B(9) pad(4)
 
+import os as _os
 
-def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
+# Perf-bisection gates (round 4): each isolates one kernel optimization
+# so BENCH_MODE=g2p can attribute regressions on hardware.
+#   TMT_G2P_FOLDMM=1 -> MXU i-fold (measured +1 ms/substep on the G2P
+#                       kernel at 8M on v5e — the m84 concat costs more
+#                       than the 84 row-granular VPU madds it replaces)
+#   TMT_G2P_PRE2=1   -> pipelined second-run tile (extra DMA per window
+#                       outweighed the rare serial-DMA saving at 8 ppc)
+# Both measured NET-NEGATIVE in round 4 (52.5 -> 57.7 ms/substep with
+# all three gates on, 53.0 with all off); kept for re-testing on other
+# chips/shapes.
+_FOLDMM = _os.environ.get("TMT_G2P_FOLDMM", "0") == "1"
+_PRE2 = _os.environ.get("TMT_G2P_PRE2", "0") == "1"
+
+
+def _fold_matrix():
+    """Static (21, 84) 0/1 fold matrix, built IN-KERNEL from iota
+    arithmetic (Pallas kernels may not capture array constants): m84
+    rows are the x-weighted moment partials [(moment 0/y/z, c, i) 63
+    rows ; (x-moment, c, i) 21 rows] grouped in 12 groups g = row // 7,
+    and the output rows are [v(3), v replicated per axis (9), moments
+    permuted to (c, axis) order (9)] — so the per-lane i-fold runs on
+    the MXU instead of 84 row-granular (1, CHUNK) VPU ops (each at 1/8
+    sublane occupancy; this fold dominated the G2P kernel)."""
+    R = jax.lax.broadcasted_iota(jnp.int32, (21, 84), 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (21, 84), 1) // TILE
+    # rows 0-2: v[c] <- group c
+    cond = (R < 3) & (g == R)
+    # rows 3-11: v replicated, row 3+3c+a <- group c
+    cond = cond | ((R >= 3) & (R < 12) & (g == (R - 3) // 3))
+    # rows 12-20: moment (c, a), a=0 x-moment (groups 9-11),
+    # a=1 y (groups 3-5), a=2 z (groups 6-8)
+    a = (R - 12) - ((R - 12) // 3) * 3
+    off = jnp.where(a == 0, 9, jnp.where(a == 1, 3, 6))
+    cond = cond | ((R >= 12) & (g == (R - 12) // 3 + off))
+    return cond.astype(jnp.float32)
+
+
+def _fold_dot(S, b):
+    """Selection matmul with an EXACT-in-bf16 left operand: only the
+    data operand needs the hi/lo split (S's low residual is identically
+    zero), so two bf16 passes carry the same accuracy as the 3-pass
+    transfer_dot. f32 HIGHEST on CPU for oracle-stable tests."""
+    dims = (((1,), (0,)), ((), ()))
+    if _X6 or jax.default_backend() == "cpu":
+        return jax.lax.dot_general(
+            S, b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+    Sh = S.astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return d(Sh, bh) + d(Sh, bl)
+
+
+def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t,
+                 gt_second=None):
     """The in-kernel window accumulation shared by the plain and fused
     G2P kernels: walk the runs of equal slot id in this window and
     matmul-accumulate v/B. Returns (16, CHUNK) rows [v(3) B(9) 0(4)].
@@ -53,7 +117,10 @@ def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
     Args are in-kernel values/refs: kb2 (1, CHUNK) sorted slot ids
     (>= K marks inactive), px/py/pz (1, CHUNK) block-local grid-unit
     positions, gt_first the (GTROWS, GTLANES) pipelined first-run tile,
-    gt_hbm the full (K, GTROWS, GTLANES) tile ref for extra runs."""
+    gt_hbm the full (K, GTROWS, GTLANES) tile ref for extra runs;
+    gt_second (optional) the pipelined tile of slot first+1 — the
+    common second run of a multi-block window (sorted slots ascend by
+    1 through dense regions), avoiding its serial in-kernel DMA."""
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     lane49 = jax.lax.broadcasted_iota(jnp.int32, (1, NJK), 1)
     jn49 = (lane49 // TILE - 1).astype(jnp.float32)
@@ -66,15 +133,49 @@ def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
         - 1.0
     )
     wx1 = wx * irow
+    # per-window x-weight replication rows for the moment partials
+    wx7 = wx[0:TILE, :]
+    wx_rep = jnp.concatenate([wx7, wx7, wx7] * 3, 0)  # (63, CHUNK)
+    wx1_rep = jnp.concatenate([wx1[0:TILE, :]] * 3, 0)  # (21, CHUNK)
+    # per-window position rows in (c, axis) order for the B assembly
+    pa9 = jnp.concatenate([px, py, pz] * 3, 0)  # (9, CHUNK)
+    S21 = _fold_matrix()
 
-    def run_contrib(gt21, b_cur, valid):
+    def run_contrib(gt21, b_cur, valid, r0, r1):
+        """One run's (16, CHUNK) contribution. The gt63 @ wyzT matmul is
+        split into MMW-lane sub-chunks predicated on the run's lane
+        extent [r0, r1) — a run covers ~one block's particles, so MXU
+        work tracks run length instead of the full chunk width."""
         mask = ((kb2 == b_cur) & valid).astype(jnp.float32)
         wyzT = wyz_base * mask  # (49, CHUNK)
         gt63 = jnp.concatenate([gt21, gt21 * jn49, gt21 * kn49], 0)
-        s_t = transfer_dot(
-            gt63, wyzT, (((1,), (0,)), ((), ()))
-        )  # (63, CHUNK)
+        if NSUB == 1:
+            s_t = transfer_dot(gt63, wyzT, (((1,), (0,)), ((), ())))
+        else:
+            parts = []
+            for h in range(NSUB):
+                sl = slice(h * MMW, (h + 1) * MMW)
+                act = valid & (r0 < (h + 1) * MMW) & (r1 > h * MMW)
+                parts.append(jax.lax.cond(
+                    act,
+                    lambda sl=sl: transfer_dot(
+                        gt63, wyzT[:, sl], (((1,), (0,)), ((), ()))
+                    ),
+                    lambda: jnp.zeros((3 * NCI, MMW), jnp.float32),
+                ))
+            s_t = jnp.concatenate(parts, 1)  # (63, CHUNK)
+        if _FOLDMM:
+            # i-fold as one elementwise weight + one selection matmul
+            m84 = jnp.concatenate([s_t * wx_rep, s_t[0:NCI] * wx1_rep], 0)
+            out21 = _fold_dot(S21, m84)
+            # (21, CHUNK): [v(3), v_rep(9), moments (c, axis) (9)]
+            b9 = pa9 * out21[3:12] - out21[12:21]
+            return jnp.concatenate(
+                [out21[0:3], b9, jnp.zeros((4, CHUNK), jnp.float32)], axis=0
+            )  # (16, CHUNK)
 
+        # row-granular i-fold (the pre-round-4 form, kept behind the
+        # bisection gate): 84 (1, CHUNK) multiply-adds on the VPU
         def fold(block_off, weights, c):
             o = block_off + c * TILE
             out = weights[0:1, :] * s_t[o : o + 1, :]
@@ -104,10 +205,12 @@ def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
     # its tile arrived through the pipelined gt_first block
     b0 = kb2[0, 0]
     valid0 = b0 < K
-    acc = run_contrib(gt_first[0:NCI, 0:NJK], b0, valid0)
     r1 = jnp.where(valid0, jnp.sum((kb2 <= b0).astype(jnp.int32)), CHUNK)
+    acc = run_contrib(gt_first[0:NCI, 0:NJK], b0, valid0, jnp.int32(0), r1)
 
-    # remaining runs (rare): manual DMA per run
+    # remaining runs: the second run's tile is usually the pipelined
+    # gt_second (slot first+1 — sorted slots ascend by 1 through dense
+    # regions); other extra runs pay a manual DMA
     def cond(carry):
         r, acc = carry
         return r < CHUNK
@@ -117,12 +220,26 @@ def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
         b_cur = jnp.min(jnp.where(lane1 >= r, kb2, K))
         valid = b_cur < K
         b_dma = jnp.minimum(b_cur, K - 1)
-        cp = pltpu.make_async_copy(gt_hbm.at[b_dma], tbuf, sem_t)
-        cp.start()
-        cp.wait()
-        acc = acc + run_contrib(tbuf[0:NCI, 0:NJK], b_cur, valid)
+        if gt_second is not None:
+            use_pre = b_cur == b0 + 1
+
+            @pl.when(~use_pre)
+            def _():
+                cp = pltpu.make_async_copy(gt_hbm.at[b_dma], tbuf, sem_t)
+                cp.start()
+                cp.wait()
+
+            tile = jnp.where(
+                use_pre, gt_second[0:NCI, 0:NJK], tbuf[0:NCI, 0:NJK]
+            )
+        else:
+            cp = pltpu.make_async_copy(gt_hbm.at[b_dma], tbuf, sem_t)
+            cp.start()
+            cp.wait()
+            tile = tbuf[0:NCI, 0:NJK]
         r_next = jnp.sum((kb2 <= b_cur).astype(jnp.int32))
         r_next = jnp.where(valid, r_next, CHUNK)
+        acc = acc + run_contrib(tile, b_cur, valid, r, r_next)
         return r_next, acc
 
     _, acc = jax.lax.while_loop(cond, body, (r1, acc))
@@ -130,15 +247,15 @@ def window_accum(K, kb2, px, py, pz, gt_first, gt_hbm, tbuf, sem_t):
 
 
 def _g2p_kernel(
-    dims_ref, first_ref, keys_ref, posg_ref, gt_first, gt_hbm, out_ref,
-    tbuf, sem_t,
+    dims_ref, first_ref, keys_ref, posg_ref, gt_first, gt_second, gt_hbm,
+    out_ref, tbuf, sem_t,
 ):
     K = dims_ref[0]  # sentinel slot id = number of active slots
     kb2 = keys_ref[:]  # (1, CHUNK) int32 active-slot ids, sorted; K = inactive
     pos = posg_ref[:]  # (8, CHUNK) rows: block-local grid-unit x, y, z
     out_ref[:] = window_accum(
         K, kb2, pos[0:1, :], pos[1:2, :], pos[2:3, :], gt_first, gt_hbm,
-        tbuf, sem_t,
+        tbuf, sem_t, gt_second=gt_second,
     )
 
 
@@ -179,6 +296,15 @@ def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
     K = gtiles.shape[0]
     # first slot per window, clamped for the sentinel (masked in-kernel)
     first = jnp.minimum(keys[0, ::CHUNK], K - 1).astype(jnp.int32)
+    second_specs = [
+        pl.BlockSpec(
+            (1, GTROWS, GTLANES),
+            lambda q, dims, first: (
+                jnp.minimum(first[q] + 1, dims[0] - 1), 0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+    ] if _PRE2 else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nwin,),
@@ -190,6 +316,7 @@ def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
                 lambda q, dims, first: (first[q], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            *second_specs,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -201,10 +328,20 @@ def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
         ],
     )
 
-    def kernel(dims_ref, first_ref, keys_ref, posg_ref, gt_first_ref, gt_hbm,
-               out_ref, tbuf, sem_t):
-        _g2p_kernel(dims_ref, first_ref, keys_ref, posg_ref,
-                    gt_first_ref[0], gt_hbm, out_ref, tbuf, sem_t)
+    if _PRE2:
+        def kernel(dims_ref, first_ref, keys_ref, posg_ref, gt_first_ref,
+                   gt_second_ref, gt_hbm, out_ref, tbuf, sem_t):
+            _g2p_kernel(dims_ref, first_ref, keys_ref, posg_ref,
+                        gt_first_ref[0], gt_second_ref[0], gt_hbm, out_ref,
+                        tbuf, sem_t)
+        args = (nb_dims, first, keys, posg, gtiles, gtiles, gtiles)
+    else:
+        def kernel(dims_ref, first_ref, keys_ref, posg_ref, gt_first_ref,
+                   gt_hbm, out_ref, tbuf, sem_t):
+            _g2p_kernel(dims_ref, first_ref, keys_ref, posg_ref,
+                        gt_first_ref[0], None, gt_hbm, out_ref,
+                        tbuf, sem_t)
+        args = (nb_dims, first, keys, posg, gtiles, gtiles)
 
     return pl.pallas_call(
         kernel,
@@ -214,4 +351,4 @@ def g2p_blocked(keys, posg, gtiles, nb_dims, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(nb_dims, first, keys, posg, gtiles, gtiles)
+    )(*args)

@@ -41,6 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from taichi_mpm_tpu.ops.blocked import TILE
 
+# Particles per streamed state chunk / G2P window. 1024 was TRIED
+# (round 4) on the theory that (8, 128) full-vreg slabs would halve the
+# in-kernel physics time vs 512's (4, 128) half-vregs: measured 52.5 ->
+# 62.6 ms/substep at 8M (both kernels slower), and splitting the masked
+# hit matmuls into 512-lane sub-chunks only recovered P2G to par while
+# G2P stayed ~4 ms worse. The VPU is evidently not sublane-limited at
+# (4, 128); don't redo without a profile showing otherwise.
 CHUNK = 512
 ALIGN = 128
 NVAL = 16  # value channels: mv(3) mass(1) A-col0(3) 0 A-col1(3) 0 A-col2(3) 0
@@ -108,13 +115,13 @@ def _wyzT(py_row, pz_row):
     )
 
 
-def _chunk_contrib(pd, s, e, gstart):
-    """One chunk's (112, 49) tile contribution; lanes outside [s, e)
-    masked out (gstart = the chunk's global start index)."""
-    gidx = gstart + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    mask = ((gidx >= s) & (gidx < e)).astype(jnp.float32)
-
-    wyzT = _wyzT(pd[14:15, :], pd[15:16, :]) * mask  # (49, CHUNK)
+def _chunk_ops(pd):
+    """Per-chunk P2G operands SHARED across the block hits of a batched
+    program: (val2 (112, CHUNK), wyz_base (49, CHUNK)). Hoisted out of
+    the per-hit path — with BATCH blocks per program a chunk typically
+    intersects 2 block ranges, and rebuilding these per hit doubled the
+    kernel's VPU work (only the range mask is hit-specific)."""
+    wyz_base = _wyzT(pd[14:15, :], pd[15:16, :])  # (49, CHUNK)
     wx = _axis_weights_T(pd[13:14, :])  # (8, CHUNK)
 
     mv = pd[0:3, :]
@@ -138,10 +145,44 @@ def _chunk_contrib(pd, s, e, gstart):
     val2 = jnp.concatenate(
         [val * wx[i : i + 1, :] for i in range(TILE)], 0
     )  # (112, CHUNK)
+    return val2, wyz_base
 
+
+# MXU sub-chunk: the masked hit matmuls contract over MMW lanes, not
+# the full CHUNK — a block's sorted range covers ~MMW particles, so
+# matmul work stays proportional to particles-in-range instead of
+# scaling with the (VPU-sized) chunk width. Measured: CHUNK=1024 with
+# full-width hit matmuls regressed the 8M substep 52.5 -> 62.6 ms.
+MMW = 512
+NSUB = CHUNK // MMW
+
+
+def _hit_contrib(val2, wyz_base, s, e, gstart):
+    """One block hit's (112, 49) contribution from precomputed chunk
+    operands; lanes outside [s, e) masked out."""
+    gidx = gstart + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    mask = ((gidx >= s) & (gidx < e)).astype(jnp.float32)
     return transfer_dot(
-        val2, wyzT, (((1,), (1,)), ((), ()))
+        val2, wyz_base * mask, (((1,), (1,)), ((), ()))
     )  # (112, 49)
+
+
+def _hit_contrib_sub(val2, wyz_base, s, e, gstart, h: int):
+    """One block hit's contribution restricted to MXU sub-chunk h:
+    (112, 49) from the MMW-lane slice, lanes outside [s, e) masked."""
+    lo = gstart + h * MMW
+    gidx = lo + jax.lax.broadcasted_iota(jnp.int32, (1, MMW), 1)
+    mask = ((gidx >= s) & (gidx < e)).astype(jnp.float32)
+    sl = slice(h * MMW, (h + 1) * MMW)
+    return transfer_dot(
+        val2[:, sl], wyz_base[:, sl] * mask, (((1,), (1,)), ((), ()))
+    )  # (112, 49)
+
+
+def _chunk_contrib(pd, s, e, gstart):
+    """One chunk's (112, 49) tile contribution (single-hit form)."""
+    val2, wyz_base = _chunk_ops(pd)
+    return _hit_contrib(val2, wyz_base, s, e, gstart)
 
 
 def tile_correct(acc):
@@ -238,14 +279,19 @@ def _p2g_kernel_batched(
 
     def accum_chunk(pd, ci):
         c_lo = dstart + ci * CHUNK
-        for i in range(BATCH):
-            s = s_ref[base + i]
-            e = e_ref[base + i]
-            hit = (e > s) & (s < c_lo + CHUNK) & (e > c_lo)
+        val2, wyz_base = _chunk_ops(pd)
+        for h in range(NSUB):
+            h_lo = c_lo + h * MMW
+            for i in range(BATCH):
+                s = s_ref[base + i]
+                e = e_ref[base + i]
+                hit = (e > s) & (s < h_lo + MMW) & (e > h_lo)
 
-            @pl.when(hit)
-            def _(i=i, s=s, e=e):
-                acc_ref[i] = acc_ref[i] + _chunk_contrib(pd, s, e, c_lo)
+                @pl.when(hit)
+                def _(i=i, s=s, e=e, h=h):
+                    acc_ref[i] = acc_ref[i] + _hit_contrib_sub(
+                        val2, wyz_base, s, e, c_lo, h
+                    )
 
     @pl.when(nch > 0)
     def _():
