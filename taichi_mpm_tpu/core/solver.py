@@ -537,8 +537,10 @@ class MPM:
         b1 = int(min(cap, -(-max(4 * 1024, int(1.5 * n_coarse)) // 256) * 256))
 
         # rigid page-map capacity (record-sparse CDF): bp blocks
-        # 27-dilated, 1.5x margin
-        n_rblocks = int(tag_b.sum())
+        # dilated FOUR deep (the lazy dilate=4/chk=1 map of
+        # cpic_packed_frame_carry), 1.5x margin
+        tag_b4 = dilate(tag_b.copy(), 3)  # tag_b already has one pass
+        n_rblocks = int(tag_b4.sum())
         from taichi_mpm_tpu.ops.blocked import total_blocks_padded
 
         Kr = int(min(

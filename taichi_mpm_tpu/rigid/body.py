@@ -100,6 +100,44 @@ def _torque_of(r, J):
     return jnp.cross(r, J)
 
 
+# Unroll threshold for the masked (gather/scatter-free) small-R forms
+# below: per-row gathers/scatters cost ~14 ns/row on TPU regardless of
+# locality (CLAUDE.md), so on budget-sized CPIC sets a static unroll of
+# R masked elementwise passes is far cheaper than indexed access. Past
+# this many bodies the indexed forms win again.
+R_UNROLL_MAX = 6
+
+
+def velocity_at_masked(b: RigidBodies, rid, x):
+    """velocity_at without the per-row pos/vel/omega gathers: a static
+    unroll over the R <= R_UNROLL_MAX bodies with rid == r masks.
+    Rows with rid outside [0, R) get 0 (callers mask on rid >= 0)."""
+    out = jnp.zeros_like(x)
+    for r in range(b.num):
+        vr = b.vel[r] + cross_omega(b.omega[r], x - b.pos[r])
+        out = jnp.where((rid == r)[..., None], vr, out)
+    return out
+
+
+def accumulate_impulses_masked(b: RigidBodies, rid, J, at, valid):
+    """accumulate_impulses without the segment-sum scatters: per-body
+    masked reductions (static unroll), exact same totals."""
+    R = b.num
+    rid_flat = rid.reshape(-1)
+    J_flat = J.reshape(-1, b.dim)
+    at_flat = at.reshape(-1, b.dim)
+    v_flat = valid.reshape(-1)
+    Js, taus = [], []
+    for r in range(R):
+        m = (v_flat & (rid_flat == r))[:, None]
+        Jm = jnp.where(m, J_flat, 0.0)
+        Js.append(jnp.sum(Jm, axis=0))
+        taus.append(jnp.sum(
+            jnp.where(m, _torque_of(at_flat - b.pos[r], Jm), 0.0), axis=0
+        ))
+    return jnp.stack(Js), jnp.stack(taus)
+
+
 def accumulate_impulses(b: RigidBodies, rid, J, at, valid):
     """Segment-sum impulses J (..., d) applied at world points `at` to
     bodies rid (...) where valid. Returns (J_tot (R,d), tau_tot (R,w))."""

@@ -41,14 +41,13 @@ def state_mask(num_rigids: int) -> int:
     return m
 
 
-def _element_frame_coords(xg, elem):
-    """Coordinates of points xg (..., d) in each element's frame.
-
-    3D (world_to_element, rigid_transfer.cpp:30-49): solve
-    [e1 e2 n] @ c = xg - v0 -> c = (u, v, h); u,v barycentric, h = signed
-    world distance along the unit normal. 2D: [e1 n] @ c.
-    """
-    d = xg.shape[-1]
+def _element_frame_inverse(elem):
+    """Per-element frame inverse, hoisted OUT of the stencil-offset
+    loops: the rasterizes evaluate element coordinates at 27 offsets
+    per boundary particle, and a linalg.solve per offset re-factorized
+    the SAME per-element matrix 27 times per substep. Returns (v0,
+    Minv) with coords(xg) = Minv @ (xg - v0)."""
+    d = elem.shape[-1]
     v0 = elem[..., 0, :]
     e1 = elem[..., 1, :] - v0
     if d == 2:
@@ -60,11 +59,27 @@ def _element_frame_coords(xg, elem):
         n = jnp.cross(e1, e2)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
         M = jnp.stack([e1, e2, n], -1)
-    rhs = (xg - v0)[..., None]
-    return jnp.linalg.solve(M, rhs)[..., 0]
+    return v0, jnp.linalg.inv(M)
 
 
-def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimConfig):
+def _frame_coords(v0, Minv, xg):
+    """coords of xg (..., d) given the hoisted (v0, Minv)."""
+    return jnp.einsum("...ij,...j->...i", Minv, xg - v0)
+
+
+def _element_frame_coords(xg, elem):
+    """Coordinates of points xg (..., d) in each element's frame.
+
+    3D (world_to_element, rigid_transfer.cpp:30-49): solve
+    [e1 e2 n] @ c = xg - v0 -> c = (u, v, h); u,v barycentric, h = signed
+    world distance along the unit normal. 2D: [e1 n] @ c.
+    """
+    v0, Minv = _element_frame_inverse(elem)
+    return _frame_coords(v0, Minv, xg)
+
+
+def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int,
+                             cfg: SimConfig, return_key: bool = False):
     """Rigid boundary particles -> grid CDF.
 
     Args:
@@ -74,7 +89,9 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimCo
     Returns:
       grid_dist (N,) world-unit unsigned distance (0 where unset),
       grid_rid (N,) int32 nearest rigid id (-1 none),
-      grid_states (N,) int32 packed color tags.
+      grid_states (N,) int32 packed color tags
+      [+ the raw scatter-min key plane when return_key — feeds the
+      packed single-gather lookup, _pack_cdf_plane].
     """
     d = cfg.dim
     nodes = cfg.grid_nodes
@@ -83,6 +100,7 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimCo
         N *= n
     pos = xb * cfg.inv_dx
     base, _, _ = bspline_weights(2, pos)  # cdf_kernel_order_rasterize = 2
+    v0_e, Minv_e = _element_frame_inverse(elem_world)
 
     key = jnp.full((N,), _KEY_INF, jnp.int32)
     tags = jnp.zeros((N, num_rigids), jnp.int32)
@@ -91,7 +109,7 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimCo
         idx = base + jnp.asarray(off, jnp.int32)
         inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
         xg = idx.astype(jnp.float32) * cfg.dx
-        coord = _element_frame_coords(xg, elem_world)
+        coord = _frame_coords(v0_e, Minv_e, xg)
         h = coord[..., d - 1]
         negative = h < 0.0
         dist_gu = jnp.abs(h) * cfg.inv_dx
@@ -121,6 +139,8 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimCo
         grid_states = _expand_states_2d(
             grid_states, num_rigids, cfg, int(cfg.cdf_expand)
         )
+    if return_key:
+        return grid_dist, grid_rid, grid_states, key
     return grid_dist, grid_rid, grid_states
 
 
@@ -134,19 +154,9 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int, cfg: SimCo
 # ---------------------------------------------------------------------------
 
 
-def rigid_page_map(xb, cfg: SimConfig, Kr: int):
-    """Compacted block set near rigid boundary particles: bp blocks
-    27-dilated (covers their 3-node rasterize stencils and the CDF
-    gather reach of nearby particles). Returns (rids (Kr,) ascending
-    padded block ids, rslot_map (total+1,), n_r true occupancy —
-    driver re-jits with larger Kr when n_r > Kr)."""
-    from taichi_mpm_tpu.ops import blocked
-
-    nbp = blocked.num_blocks_padded(cfg)
-    total = blocked.total_blocks_padded(cfg)
-    bid = blocked.block_id_of(xb, cfg)
-    occ = jnp.zeros((total,), bool).at[bid].set(True)
-    occ = occ.reshape(nbp)
+def _dilate_blocks(occ3):
+    """One 27-neighborhood (+-1 block per axis) boolean dilation."""
+    occ = occ3
     for ax in range(3):
         lo = jnp.concatenate(
             [occ.take(jnp.arange(1, occ.shape[ax]), axis=ax),
@@ -157,7 +167,55 @@ def rigid_page_map(xb, cfg: SimConfig, Kr: int):
              occ.take(jnp.arange(0, occ.shape[ax] - 1), axis=ax)], axis=ax
         )
         occ = occ | lo | hi
+    return occ
+
+
+def rigid_page_map(xb, cfg: SimConfig, Kr: int, dilate: int = 1):
+    """Compacted block set near rigid boundary particles: bp blocks
+    `dilate`-times 27-dilated (covers their 3-node rasterize stencils
+    and the CDF gather reach of nearby particles). Returns (rids (Kr,)
+    ascending padded block ids, rslot_map (total+1,), n_r true
+    occupancy — driver re-jits with larger Kr when n_r > Kr)."""
+    rids, rslot_map, n_r, _ = rigid_page_map_checked(xb, cfg, Kr, dilate)
+    return rids, rslot_map, n_r
+
+
+def rigid_page_map_checked(xb, cfg: SimConfig, Kr: int, dilate: int = 2,
+                           chk_dilate: int = None):
+    """rigid_page_map + a staleness-check plane for LAZY reuse.
+
+    The map build runs an argsort over total_blocks_padded — several ms
+    per substep at res 256 — but bodies move slowly, so frames can
+    reuse the map until boundary particles approach its edge. The
+    returned chk (total+1,) bool = bp blocks dilated `chk_dilate`
+    (default dilate-1) times; reuse while all(chk[bid(xb_now)]),
+    rebuild otherwise (exact, no drift-bound assumptions — survives
+    collision position projections). Margin algebra (blocks, Chebyshev):
+      * rasterize-write coverage needs chk_dilate + 1 <= dilate
+        (writes reach +-2 cells = +-1 block from a bp's block);
+      * the compact stage-2 tag_dilated fast test additionally needs
+        every candidate stencil BASE block on-record: tags live in
+        bp+1, candidates in tags+1, bases one block lower — so
+        chk_dilate + 3 <= dilate (use dilate=4, chk_dilate=1)."""
+    from taichi_mpm_tpu.ops import blocked
+
+    if chk_dilate is None:
+        chk_dilate = dilate - 1
+    assert chk_dilate + 1 <= dilate
+    nbp = blocked.num_blocks_padded(cfg)
+    total = blocked.total_blocks_padded(cfg)
+    bid = blocked.block_id_of(xb, cfg)
+    occ = jnp.zeros((total,), bool).at[bid].set(True)
+    occ = occ.reshape(nbp)
+    chk = occ
+    for i in range(dilate):
+        if i == chk_dilate:
+            chk = occ
+        occ = _dilate_blocks(occ)
     occ = occ.reshape(-1)
+    chk_flat = jnp.concatenate(
+        [chk.reshape(-1), jnp.zeros((1,), bool)]
+    )
     order = jnp.argsort(~occ, stable=True).astype(jnp.int32)
     if Kr > total:
         order = jnp.pad(order, (0, Kr - total), constant_values=total)
@@ -169,7 +227,7 @@ def rigid_page_map(xb, cfg: SimConfig, Kr: int):
         jnp.where(slot_idx < n_r, slot_idx, Kr)
     )
     rslot_map = rslot_map.at[total].set(Kr)
-    return rids, rslot_map, n_r
+    return rids, rslot_map, n_r, chk_flat
 
 
 def _node_to_record(idx, rslot_map, Kr: int, cfg: SimConfig):
@@ -191,7 +249,7 @@ def _node_to_record(idx, rslot_map, Kr: int, cfg: SimConfig):
 
 def rasterize_rigid_boundary_records(
     xb, elem_world, bp_rid, num_rigids: int, cfg: SimConfig, rslot_map,
-    Kr: int,
+    Kr: int, return_key: bool = False,
 ):
     """Rigid boundary particles -> CDF node RECORDS (Kr*64 + 1,) (last
     row = sentinel zeros). Same math as the dense rasterize; the
@@ -201,6 +259,7 @@ def rasterize_rigid_boundary_records(
     N = Kr * 64 + 1
     pos = xb * cfg.inv_dx
     base, _, _ = bspline_weights(2, pos)
+    v0_e, Minv_e = _element_frame_inverse(elem_world)
 
     key = jnp.full((N,), _KEY_INF, jnp.int32)
     tags = jnp.zeros((N, num_rigids), jnp.int32)
@@ -209,7 +268,7 @@ def rasterize_rigid_boundary_records(
         idx = base + jnp.asarray(off, jnp.int32)
         inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
         xg = idx.astype(jnp.float32) * cfg.dx
-        coord = _element_frame_coords(xg, elem_world)
+        coord = _frame_coords(v0_e, Minv_e, xg)
         h = coord[..., d - 1]
         negative = h < 0.0
         dist_gu = jnp.abs(h) * cfg.inv_dx
@@ -237,21 +296,63 @@ def rasterize_rigid_boundary_records(
     shifts = jnp.asarray([2 * r for r in range(num_rigids)], jnp.int32)
     states_rec = jnp.sum(tags << shifts[None, :], axis=1).astype(jnp.int32)
     states_rec = states_rec.at[N - 1].set(0)
+    if return_key:
+        return dist_rec, rid_rec, states_rec, key
     return dist_rec, rid_rec, states_rec
 
 
-class DenseNodeCDF:
-    """Uniform view over the dense (N_nodes,) CDF arrays."""
+def _pack_cdf_plane(key, states, num_rigids: int):
+    """One int32 plane holding (states, rid, dist) per node — so the
+    hot 27-offset CDF loops pay ONE gather per offset instead of three
+    (XLA gathers cost ~14 ns/row regardless of width; the CPIC budget
+    loops are gather-bound, VERDICT r3 #3). Layout (R <= 3 only):
+    bits 0..2R-1 states, bits 6-7 rid+1, bits 8-29 the rasterize's
+    22-bit quantized distance, taken VERBATIM from the scatter-min key
+    (q << 8 | rid+1) so the decode is BITWISE identical to the stored
+    planes. Returns None when R > 3 (states would overlap the rid
+    bits) — lookups fall back to the per-plane gathers."""
+    if num_rigids is None or num_rigids > 3 or key is None:
+        return None
+    has = key != _KEY_INF
+    pk = jnp.where(has, (key & ~0xFF) | ((key & 0xFF) << 6), 0)
+    return pk | states
 
-    def __init__(self, grid_dist, grid_rid, grid_states, cfg: SimConfig):
+
+def _unpack_cdf(pk, num_rigids: int, cfg: SimConfig):
+    # full 2-bit-per-rigid field (touched AND sign bits — state_mask
+    # covers only the touched bits)
+    s = pk & ((1 << (2 * num_rigids)) - 1)
+    rid = ((pk >> 6) & 3) - 1
+    # the exact expression the unpacked planes were decoded with
+    # (rasterize: (key >> 8) / _DIST_SCALE * dx) — bitwise identical
+    dist = (pk >> 8).astype(jnp.float32) / _DIST_SCALE * cfg.dx
+    return s, rid, dist
+
+
+class DenseNodeCDF:
+    """Uniform view over the dense (N_nodes,) CDF arrays.
+
+    num_rigids (when given and <= 3) enables the packed single-plane
+    lookup; None keeps the three-plane gathers (oracle paths)."""
+
+    def __init__(self, grid_dist, grid_rid, grid_states, cfg: SimConfig,
+                 num_rigids: int = None, key=None):
         self.dist, self.rid, self.states, self.cfg = (
             grid_dist, grid_rid, grid_states, cfg
         )
+        self.R = num_rigids
+        self.pk = _pack_cdf_plane(key, grid_states, num_rigids)
 
     def lookup(self, idx, inb):
         """-> (states, rid, dist_world) at node indices idx (..., 3)."""
         nodes = self.cfg.grid_nodes
         lin = jnp.where(inb, _ravel(idx, nodes), 0)
+        if self.pk is not None:
+            # pk = 0 decodes to (states 0, rid -1, dist 0) — exactly the
+            # masked values, so one where on the packed word suffices
+            return _unpack_cdf(
+                jnp.where(inb, self.pk[lin], 0), self.R, self.cfg
+            )
         s = jnp.where(inb, self.states[lin], 0)
         rid = jnp.where(inb, self.rid[lin], -1)
         dist = jnp.where(inb, self.dist[lin], 0.0)
@@ -272,20 +373,56 @@ class DenseNodeCDF:
             tag.reshape(nbp[0], 4, nbp[1], 4, nbp[2], 4), axis=(1, 3, 5)
         ).reshape(-1)
 
+    def tag_dilated_center(self):
+        """(N_nodes,) bool: D[c] = OR_{e in {-1,0,1}^dim} (states[c+e]
+        != 0) — the quadratic-stencil near-rigid test collapsed to ONE
+        lookup at the stencil CENTER node c = base+1 (always in-grid,
+        unlike the base). Replaces 27 lookups per candidate in compact
+        stage 2 (VERDICT r3 #3). Pure shifts, no gathers."""
+        nodes = self.cfg.grid_nodes
+        d = len(nodes)
+        tag = (self.states != 0).reshape(nodes)
+        D = jnp.pad(tag, tuple((1, 1) for _ in nodes))
+        for k in range(d):
+            sl = lambda e: tuple(
+                slice(None) if j != k else slice(1 + e, 1 + e + D.shape[k] - 2)
+                for j in range(d)
+            )
+            D = D[sl(-1)] | D[sl(0)] | D[sl(1)]
+        return D.reshape(-1)
+
+    def stencil_tagged(self, center):
+        """exact-test fast path: OR of (states != 0) over the quadratic
+        stencil whose CENTER node is `center` (..., d) — one gather
+        into the dilated plane."""
+        nodes = self.cfg.grid_nodes
+        D = self.tag_dilated_center()
+        lin = _ravel(jnp.clip(center, 0, jnp.asarray(nodes) - 1), nodes)
+        return D[lin]
+
 
 class RecordNodeCDF:
-    """Uniform view over the record-sparse (Kr*64 + 1,) CDF arrays."""
+    """Uniform view over the record-sparse (Kr*64 + 1,) CDF arrays.
+
+    num_rigids (when given and <= 3) enables the packed single-plane
+    lookup; None keeps the three-plane gathers (oracle paths)."""
 
     def __init__(self, dist_rec, rid_rec, states_rec, rids, rslot_map,
-                 Kr: int, cfg: SimConfig):
+                 Kr: int, cfg: SimConfig, num_rigids: int = None,
+                 key=None):
         self.dist, self.rid, self.states = dist_rec, rid_rec, states_rec
         self.rids, self.rslot_map, self.Kr, self.cfg = (
             rids, rslot_map, Kr, cfg
         )
+        self.R = num_rigids
+        self.pk = _pack_cdf_plane(key, states_rec, num_rigids)
 
     def lookup(self, idx, inb):
         row, ok = _node_to_record(idx, self.rslot_map, self.Kr, self.cfg)
         row = jnp.where(inb & ok, row, self.Kr * 64)
+        if self.pk is not None:
+            # the sentinel row holds pk = 0 -> (0, -1, 0.0)
+            return _unpack_cdf(self.pk[row], self.R, self.cfg)
         rid = jnp.where(inb & ok, self.rid[row], -1)
         return self.states[row], rid, self.dist[row]
 
@@ -300,6 +437,90 @@ class RecordNodeCDF:
             jnp.zeros((total + 1,), bool)
             .at[jnp.minimum(self.rids, total)].max(has)[:total]
         )
+
+    def tag_dilated_center(self):
+        """(Kr*64 + 1,) bool D with D[row(c)] = OR_{e in {-1,0,1}^3}
+        (states[c+e] != 0) — the quadratic-stencil near-rigid test
+        collapsed to ONE record lookup at the stencil CENTER node
+        c = base+1 (always in-grid, unlike the base; compact stage 2
+        previously paid 27 record lookups per candidate, VERDICT r3
+        #3). Each record's (4,4,4) tag plane is extended to (6,6,6) by
+        stitching all 26 neighbor planes DIRECTLY through rslot_map (no
+        chaining through intermediate records — exact for any map
+        holding all tagged blocks, which rasterize guarantees), then
+        OR-reduced separably. 26 gathers of Kr rows per substep,
+        independent of candidate count.
+
+        EXACTNESS CONDITION for replacing the per-candidate loop: every
+        candidate's center-node block must be on-record (else its D row
+        reads the sentinel). The lazy dilate=4/chk_dilate=1 rigid page
+        map guarantees it (see rigid_page_map_checked)."""
+        from taichi_mpm_tpu.ops import blocked
+
+        cfg = self.cfg
+        Kr = self.Kr
+        nbp = blocked.num_blocks_padded(cfg)
+        total = nbp[0] * nbp[1] * nbp[2]
+        bid = jnp.minimum(self.rids, total)
+        live = bid < total
+        bz = bid % nbp[2]
+        by = (bid // nbp[2]) % nbp[1]
+        bx = bid // (nbp[2] * nbp[1])
+        bco = (bx, by, bz)
+
+        T = (self.states[: Kr * 64] != 0).reshape(Kr, 4, 4, 4)
+        Ts = jnp.concatenate([T, jnp.zeros((1, 4, 4, 4), bool)])
+        ext = jnp.zeros((Kr, 6, 6, 6), bool).at[:, 1:5, 1:5, 1:5].set(T)
+        box = {-1: slice(0, 1), 0: slice(1, 5), 1: slice(5, 6)}
+        src = {-1: slice(3, 4), 0: slice(None), 1: slice(0, 1)}
+        for dx_ in (-1, 0, 1):
+            for dy_ in (-1, 0, 1):
+                for dz_ in (-1, 0, 1):
+                    dxyz = (dx_, dy_, dz_)
+                    if dxyz == (0, 0, 0):
+                        continue
+                    okn = live
+                    for k in range(3):
+                        okn = okn & (bco[k] + dxyz[k] >= 0)
+                        okn = okn & (bco[k] + dxyz[k] < nbp[k])
+                    nbid = (
+                        bid
+                        + dxyz[0] * nbp[1] * nbp[2]
+                        + dxyz[1] * nbp[2]
+                        + dxyz[2]
+                    )
+                    ns = self.rslot_map[
+                        jnp.clip(jnp.where(okn, nbid, total), 0, total)
+                    ]
+                    ns = jnp.where(okn & (ns < Kr), ns, Kr)
+                    tn = Ts[ns]
+                    ext = ext.at[
+                        (slice(None), box[dx_], box[dy_], box[dz_])
+                    ].set(tn[(slice(None), src[dx_], src[dy_],
+                              src[dz_])])
+        D = ext
+        for axi in (1, 2, 3):
+            n_out = D.shape[axi] - 2
+
+            def sl(e, axi=axi, n_out=n_out):
+                return tuple(
+                    slice(None) if j != axi else slice(1 + e, 1 + e + n_out)
+                    for j in range(4)
+                )
+
+            D = D[sl(-1)] | D[sl(0)] | D[sl(1)]
+        return jnp.concatenate(
+            [D.reshape(Kr * 64), jnp.zeros((1,), bool)]
+        )
+
+    def stencil_tagged(self, center):
+        """exact-test fast path: OR of (states != 0) over the quadratic
+        stencil centered at `center` — one record gather into the
+        dilated plane (see tag_dilated_center's exactness condition)."""
+        D = self.tag_dilated_center()
+        row, ok = _node_to_record(center, self.rslot_map, self.Kr,
+                                  self.cfg)
+        return D[jnp.where(ok, row, self.Kr * 64)]
 
 
 def _expand_states_2d(grid_states, num_rigids: int, cfg: SimConfig, passes: int):
@@ -381,7 +602,13 @@ def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfi
 
     offs = stencil_offsets(d, 2)
 
+    _cache = {}
+
     def node_data(off):
+        # both passes read the same 27 offsets: gather once, reuse
+        # (each record lookup costs ~14 ns/row; P is budget-sized)
+        if off in _cache:
+            return _cache[off]
         idx = base + jnp.asarray(off, jnp.int32)
         inb = jnp.all((idx >= 0) & (idx < jnp.asarray(nodes)), -1)
         s, dist = node_lookup(idx, inb)
@@ -390,7 +617,8 @@ def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfi
         for k in range(1, d):
             wo = wo * w[:, k, off[k]]
         dpos = pos - idx.astype(pos.dtype)
-        return s, dist, wo, dpos
+        _cache[off] = (s, dist, wo, dpos)
+        return _cache[off]
 
     # Pass 1: affinity update (rigid_transfer.cpp:156-207).
     all_b = jnp.zeros((P,), jnp.int32)

@@ -53,6 +53,18 @@ def _friction_of(bodies: RigidBodies, rid, p_state):
     return jnp.where(rid >= 0, bodies.friction[safe, neg], 0.0)
 
 
+def _friction_of_masked(bodies: RigidBodies, rid, p_state):
+    """_friction_of without the per-row (rid, neg) gather: static
+    unroll over small R with rid == r masks (rid < 0 -> 0, as above)."""
+    out = jnp.zeros(rid.shape, jnp.float32)
+    for r in range(bodies.num):
+        neg = (p_state >> (2 * r)) & 1
+        fr = jnp.where(neg == 1, bodies.friction[r, 1],
+                       bodies.friction[r, 0])
+        out = jnp.where(rid == r, fr, out)
+    return out
+
+
 def p2g_cpic(p: Particles, bodies: RigidBodies, grid_rid, grid_states, cfg: SimConfig, dt):
     """CPIC P2G. Returns (grid (nodes..., d+1), J_tot (R,d), tau_tot)."""
     d = cfg.dim

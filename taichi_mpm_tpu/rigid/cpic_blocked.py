@@ -46,12 +46,19 @@ from taichi_mpm_tpu.ops.substep import (
 )
 from taichi_mpm_tpu.rigid import cdf
 from taichi_mpm_tpu.rigid.body import (
+    R_UNROLL_MAX,
     accumulate_impulses,
+    accumulate_impulses_masked,
     apply_impulses,
     boundary_particle_world,
     velocity_at,
+    velocity_at_masked,
 )
-from taichi_mpm_tpu.rigid.cpic import _compatible, _friction_of
+from taichi_mpm_tpu.rigid.cpic import (
+    _compatible,
+    _friction_of,
+    _friction_of_masked,
+)
 from taichi_mpm_tpu.utils import mv as mv_small, outer
 
 
@@ -257,9 +264,14 @@ def p2g_correction(
     pos = x * cfg.inv_dx
     base, w, dw = bspline_weights(cfg.kernel_order, pos)
 
-    flat = rec.reshape(-1)
-    pad = jnp.zeros((256,), flat.dtype)  # scratch row for sentinel slots
-    flat = jnp.concatenate([flat, pad])
+    K4 = rec.shape[0] * rec.shape[1] // 256  # K (256-lane records)
+    # (K+1, 4, 64) channel-windowed view: one scatter with a 4-element
+    # update window per (node, offset) replaces the previous four
+    # per-channel scatters (mv x3 + mass) — scatter cost on TPU tracks
+    # row count, and this loop runs 27 offsets x budget rows.
+    rec3 = jnp.concatenate(
+        [rec.reshape(K4, 4, 64), jnp.zeros((1, 4, 64), rec.dtype)]
+    )
     J_tot = jnp.zeros((R, d), jnp.float32)
     tau_tot = jnp.zeros((R, 1 if d == 2 else 3), jnp.float32)
 
@@ -283,30 +295,41 @@ def p2g_correction(
         compat = _compatible(s, pstates, smask)
         hit = valid & inb & (~compat) & (nrid >= 0)
 
-        # subtract the plain scatter w*(mv + A dpos, m)
+        # subtract the plain scatter w*(mv + A dpos, m) — one windowed
+        # scatter of [mv(3), mass] per offset
         mom = mv_p + mv_small(aff, dpos)
         slot, lane = _rec_slot_lane(nidx, pm["slot_map"], cfg)
-        lin_base = jnp.where(slot < K, slot * 256, K * 256)
-        for c in range(3):
-            flat = flat.at[lin_base + c * 64 + lane].add(
-                jnp.where(hit, -wo * mom[:, c], 0.0)
-            )
-        flat = flat.at[lin_base + 192 + lane].add(jnp.where(hit, -wo * mass, 0.0))
+        srow = jnp.where(slot < K, slot, K4)
+        upd = jnp.stack(
+            [-wo * mom[:, 0], -wo * mom[:, 1], -wo * mom[:, 2],
+             -wo * mass], -1,
+        )
+        rec3 = rec3.at[srow, :, lane].add(
+            jnp.where(hit[:, None], upd, 0.0)
+        )
 
-        # rigid impulse (transfer.cpp:241-252)
-        rid_safe = jnp.clip(nrid, 0, R - 1)
+        # rigid impulse (transfer.cpp:241-252). Small-R scenes use the
+        # masked (gather/scatter-free) forms: per-row body gathers and
+        # segment-sum scatters cost ~14 ns/row x 27 offsets on the
+        # budget-sized near set (VERDICT r3 #3).
         xg = nidx.astype(jnp.float32) * cfg.dx
         if world_off is not None:
             xg = xg + world_off
-        rigid_v = velocity_at(bodies, rid_safe, xg)
-        fric = _friction_of(bodies, nrid, pstates)
+        if R <= R_UNROLL_MAX:
+            rigid_v = velocity_at_masked(bodies, nrid, xg)
+            fric = _friction_of_masked(bodies, nrid, pstates)
+        else:
+            rigid_v = velocity_at(bodies, jnp.clip(nrid, 0, R - 1), xg)
+            fric = _friction_of(bodies, nrid, pstates)
         dv = vel - friction_project(vel, rigid_v, bnormal, fric)
         impulse = (mass * wo)[:, None] * dv + dt * mv_small(force, gradw)
-        Jo, tauo = accumulate_impulses(bodies, rid_safe, impulse, xg, hit)
+        acc_imp = (accumulate_impulses_masked if R <= R_UNROLL_MAX
+                   else accumulate_impulses)
+        Jo, tauo = acc_imp(bodies, nrid, impulse, xg, hit)
         J_tot = J_tot + Jo
         tau_tot = tau_tot + tauo
 
-    return flat[:-256].reshape(rec.shape), J_tot, tau_tot
+    return rec3[:-1].reshape(rec.shape), J_tot, tau_tot
 
 
 def g2p_correction(
@@ -329,7 +352,12 @@ def g2p_correction(
 
     pos = x * cfg.inv_dx
     base, w, _ = bspline_weights(cfg.kernel_order, pos)
-    vflat = jnp.concatenate([vrec.reshape(-1), jnp.zeros((192,), vrec.dtype)])
+    Kv = vrec.shape[0] * vrec.shape[1] // 192
+    # (K+1, 3, 64) channel-windowed view: one gather with a 3-element
+    # window per (node, offset) replaces three per-channel gathers
+    vrec3 = jnp.concatenate(
+        [vrec.reshape(Kv, 3, 64), jnp.zeros((1, 3, 64), vrec.dtype)]
+    )
 
     B = idx.shape[0]
     dv = jnp.zeros((B, d), jnp.float32)
@@ -349,17 +377,21 @@ def g2p_correction(
         incompat = valid & inb & (~compat)
 
         slot, lane = _rec_slot_lane(nidx, pm["slot_map"], cfg)
-        lin_base = jnp.where(slot < K, slot * 192, K * 192)
-        gv = jnp.stack(
-            [vflat[lin_base + c * 64 + lane] for c in range(3)], -1
-        )
+        gv = vrec3[jnp.where(slot < K, slot, Kv), :, lane]  # (B, 3)
 
-        rid_safe = jnp.clip(nrid, 0, R - 1)
         xg = nidx.astype(jnp.float32) * cfg.dx
         if world_off is not None:
             xg = xg + world_off
-        v_g = jnp.where((nrid >= 0)[:, None], velocity_at(bodies, rid_safe, xg), 0.0)
-        fric = _friction_of(bodies, nrid, pstates)
+        if R <= R_UNROLL_MAX:
+            # masked forms: no per-row body gathers (see p2g_correction)
+            v_g = velocity_at_masked(bodies, nrid, xg)
+            fric = _friction_of_masked(bodies, nrid, pstates)
+        else:
+            v_g = jnp.where(
+                (nrid >= 0)[:, None],
+                velocity_at(bodies, jnp.clip(nrid, 0, R - 1), xg), 0.0,
+            )
+            fric = _friction_of(bodies, nrid, pstates)
         fake_v = jnp.where(
             near_b[:, None],
             friction_project(pv, v_g, bnormal, fric)
@@ -375,12 +407,18 @@ def g2p_correction(
 
 
 def rigid_prologue(bodies, scene, cfg: SimConfig, gcfg: SimConfig, dt,
-                   Kr: int, world_off=None):
+                   Kr: int, world_off=None, rmap=None):
     """The per-substep rigid prologue shared by the pytree and packed
     CPIC paths: coupling_iterations x {rigidify, articulate, rasterize
     CDF} (mpm.cpp:467-471). In multichip mode every shard runs this
     identically on replicated bodies (deterministic, collective-free).
-    Returns (bodies, ncdf, n_r, xb_world)."""
+    Returns (bodies, ncdf, n_r, xb_world).
+
+    rmap = (rids, rslot_map, n_r) reuses a LAZILY-maintained rigid page
+    map (cdf.rigid_page_map_checked) instead of rebuilding it — the
+    caller is responsible for the staleness check (the CDF VALUES are
+    still re-rasterized every call; only the block indexing is cached,
+    which is value-neutral while the map covers all writes)."""
     from taichi_mpm_tpu.rigid import articulation as artic
     from taichi_mpm_tpu.rigid import collision as coll
 
@@ -403,18 +441,28 @@ def rigid_prologue(bodies, scene, cfg: SimConfig, gcfg: SimConfig, dt,
         else:
             xb_g, elem_g = xb, elem_w
         if Kr > 0:
-            rids, rslot_map, n_r = cdf.rigid_page_map(xb_g, gcfg, Kr)
-            dist_r, rid_r, states_r = cdf.rasterize_rigid_boundary_records(
-                xb_g, elem_g, scene.bp_rid, R, gcfg, rslot_map, Kr
+            if rmap is not None:
+                rids, rslot_map, n_r = rmap
+            else:
+                rids, rslot_map, n_r = cdf.rigid_page_map(xb_g, gcfg, Kr)
+            dist_r, rid_r, states_r, key_r = (
+                cdf.rasterize_rigid_boundary_records(
+                    xb_g, elem_g, scene.bp_rid, R, gcfg, rslot_map, Kr,
+                    return_key=True,
+                )
             )
             ncdf = cdf.RecordNodeCDF(
-                dist_r, rid_r, states_r, rids, rslot_map, Kr, gcfg
+                dist_r, rid_r, states_r, rids, rslot_map, Kr, gcfg,
+                num_rigids=R, key=key_r,
             )
         else:
-            grid_dist, grid_rid, grid_states = cdf.rasterize_rigid_boundary(
-                xb_g, elem_g, scene.bp_rid, R, gcfg
+            grid_dist, grid_rid, grid_states, key_d = (
+                cdf.rasterize_rigid_boundary(
+                    xb_g, elem_g, scene.bp_rid, R, gcfg, return_key=True
+                )
             )
-            ncdf = cdf.DenseNodeCDF(grid_dist, grid_rid, grid_states, gcfg)
+            ncdf = cdf.DenseNodeCDF(grid_dist, grid_rid, grid_states, gcfg,
+                                    num_rigids=R, key=key_d)
             n_r = jnp.int32(0)
     return bodies, ncdf, n_r, xb
 

@@ -102,7 +102,7 @@ def gather_mini(st, idx, pw):
 
 def compact_near_rigid_packed(
     st, pm, node_states, cfg: SimConfig, budget: int, b1: int = 0,
-    world_off=None,
+    world_off=None, fast_stage2: bool = False,
 ):
     """compact_near_rigid_ranges on packed rows: stage 1 reads the
     sorted-particle ranges of tagged blocks straight off the page map
@@ -150,12 +150,18 @@ def compact_near_rigid_packed(
     pstates = _bits_i(row(st, RSTATES, pw)[idx1])
     nodes_arr = jnp.asarray(cfg.grid_nodes)
     base, _, _ = bspline_weights(cfg.kernel_order, pos)
-    exact = jnp.zeros((B1,), bool)
-    for off in stencil_offsets(cfg.dim, cfg.kernel_order):
-        nidx = base + jnp.asarray(off, jnp.int32)
-        inb = jnp.all((nidx >= 0) & (nidx < nodes_arr), -1)
-        s, _, _ = node_states.lookup(nidx, inb)
-        exact = exact | (s != 0)
+    if fast_stage2:
+        # one dilated-plane gather per candidate instead of 27 record
+        # lookups; exact given the dilate=4/chk=1 lazy map (see
+        # tag_dilated_center) — the lazy single-chip frame's setting
+        exact = node_states.stencil_tagged(base + 1)
+    else:
+        exact = jnp.zeros((B1,), bool)
+        for off in stencil_offsets(cfg.dim, cfg.kernel_order):
+            nidx = base + jnp.asarray(off, jnp.int32)
+            inb = jnp.all((nidx >= 0) & (nidx < nodes_arr), -1)
+            s, _, _ = node_states.lookup(nidx, inb)
+            exact = exact | (s != 0)
     exact = valid1 & (exact | (pstates != 0))
 
     order2 = jnp.argsort(jnp.where(exact, 0, 1), stable=True).astype(jnp.int32)
@@ -169,7 +175,7 @@ def cpic_packed_substep_presorted(
     st, keys, pm, bodies, t, cfg: SimConfig, scene, dt,
     near_budget: int, b1: int = 0, Kr: int = 0, interpret: bool = False,
     lcfg: SimConfig = None, world_off=None, axis: str = None,
-    grid_colliders=None, exchange_fn=None,
+    grid_colliders=None, exchange_fn=None, rmap=None,
 ):
     """One coupled substep on the packed carry against a frozen
     sort/page map (the packed twin of cpic_blocked_substep_presorted;
@@ -198,14 +204,15 @@ def cpic_packed_substep_presorted(
     near_budget = min(near_budget, pw)
 
     bodies, ncdf, n_r, xb = rigid_prologue(
-        bodies, scene, cfg, gcfg, dt, Kr, world_off=world_off
+        bodies, scene, cfg, gcfg, dt, Kr, world_off=world_off, rmap=rmap
     )
 
     # -- CDF gather on the compacted near-rigid subset; scatter the
     # affinity rows back (rows 37-42 rebuilt from zero: leaving the
     # neighborhood clears affinity, rigid_transfer.cpp:147-149)
     idx, valid, n_near, n_coarse = compact_near_rigid_packed(
-        st, pm, ncdf, gcfg, near_budget, b1, world_off=world_off
+        st, pm, ncdf, gcfg, near_budget, b1, world_off=world_off,
+        fast_stage2=rmap is not None,
     )
 
     def _sd_lookup(nidx, inb):
@@ -367,45 +374,89 @@ def cpic_packed_frame_carry(
 
     Loop structure: TWO-LEVEL, like ops/packed.packed_frame_carry —
     the inner while runs pure coupled substeps until drift crosses the
-    0.45-cell lazy-sort bound; the outer loop re-sorts and re-enters.
-    A per-substep resort `lax.cond` costs a full-state identity-branch
-    copy plus a column-major carry flip per substep (measured 17 ms at
-    8M on the plain path); the (substep, resort) event sequence is
-    IDENTICAL to the old single-level scan."""
+    0.45-cell lazy-sort bound OR the rigid page map goes stale; the
+    outer loop re-sorts / rebuilds and re-enters. A per-substep resort
+    `lax.cond` costs a full-state identity-branch copy plus a
+    column-major carry flip per substep (measured 17 ms at 8M on the
+    plain path); the (substep, resort) event sequence is IDENTICAL to
+    the old single-level scan.
+
+    The RIGID PAGE MAP is lazy within the frame (Kr > 0): built once at
+    frame start via cdf.rigid_page_map_checked (dilate=2), reused while
+    every boundary particle's block stays inside the check plane, and
+    rebuilt in the outer loop when one leaves — exact coverage, so the
+    rasterized CDF values are identical to the per-substep rebuild
+    (only the indexing structure is cached). Kills the per-substep
+    total_blocks argsort that dominated the prologue at high res."""
     st, keys, pm, drift0 = carry
+    from taichi_mpm_tpu.ops import blocked as _blocked
+    from taichi_mpm_tpu.rigid.body import boundary_particle_world
+
+    lazy_rmap = Kr > 0
+
+    def _bp_blocks_ok(bodies, chk):
+        xb, _, _ = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        bid = _blocked.block_id_of(xb, cfg)
+        return jnp.all(chk[bid])
+
+    def _build_rmap(bodies):
+        xb, _, _ = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        # dilate=4 / chk at +1: the margin algebra that keeps BOTH the
+        # rasterize writes and the stage-2 tag_dilated fast test exact
+        # under lazy reuse (see rigid_page_map_checked docstring).
+        return cdf.rigid_page_map_checked(xb, cfg, Kr, dilate=4,
+                                          chk_dilate=1)
+
+    if lazy_rmap:
+        rids0, rslot0, nr0, chk0 = _build_rmap(bodies)
+    else:
+        total = _blocked.total_blocks_padded(cfg)
+        rids0 = jnp.zeros((1,), jnp.int32)
+        rslot0 = jnp.zeros((1,), jnp.int32)
+        nr0 = jnp.int32(0)
+        chk0 = jnp.ones((total + 1,), bool)
 
     def inner_cond(c):
         (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
-         plast) = c
-        return (n < n_substeps) & (drift < 0.45)
+         plast, rm, stale) = c
+        return (n < n_substeps) & (drift < 0.45) & ~stale
 
     def inner_body(c):
         (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
-         plast) = c
+         plast, rm, stale) = c
+        rids, rslot, nr_c, chk = rm
         (st, bodies, t), n_near, n_coarse, n_r, vmax, dplast = (
             cpic_packed_substep_presorted(
                 st, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
                 Kr, interpret=interpret,
+                rmap=(rids, rslot, nr_c) if lazy_rmap else None,
             )
         )
+        stale = (~_bp_blocks_ok(bodies, chk)) if lazy_rmap else stale
         return (st, keys, pm, bodies, drift + dt * cfg.inv_dx * vmax, t,
                 n + 1, jnp.maximum(nnear, n_near),
                 jnp.maximum(ncoarse, n_coarse), jnp.maximum(nr, n_r),
-                plast + dplast)
+                plast + dplast, rm, stale)
 
     def outer_cond(c):
         (st, keys, pm, bodies, drift, t, n, nmax, nnear, ncoarse, nr,
-         nsorts, plast) = c
+         nsorts, plast, rm, stale) = c
         return (n < n_substeps) | (drift >= 0.45)
 
     def outer_body(c):
         (st, keys, pm, bodies, drift, t, n, nmax, nnear, ncoarse, nr,
-         nsorts, plast) = c
+         nsorts, plast, rm, stale) = c
         (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
-         plast) = jax.lax.while_loop(
+         plast, rm, stale) = jax.lax.while_loop(
             inner_cond, inner_body,
             (st, keys, pm, bodies, drift, t, n, nnear, ncoarse, nr,
-             plast),
+             plast, rm, stale),
         )
         need = drift >= 0.45
 
@@ -418,19 +469,28 @@ def cpic_packed_frame_carry(
             return st, keys, pm
 
         st, keys, pm = jax.lax.cond(need, do_resort, keep, st)
+        if lazy_rmap:
+            rm = jax.lax.cond(
+                stale, lambda: _build_rmap(bodies), lambda: rm
+            )
+            nr = jnp.maximum(nr, rm[2])
+            stale = jnp.zeros((), bool)
         drift = jnp.where(need, 0.0, drift)
         nsorts = nsorts + need.astype(jnp.int32)
         return (st, keys, pm, bodies, drift, t, n,
                 jnp.maximum(nmax, pm["n_act"]), nnear, ncoarse, nr,
-                nsorts, plast)
+                nsorts, plast, rm, stale)
 
     wcarry = (
         st, keys, pm, bodies, drift0, t, jnp.int32(0), pm["n_act"],
-        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-        jnp.int32(0),
+        jnp.int32(0), jnp.int32(0), jnp.maximum(jnp.int32(0), nr0),
+        jnp.int32(0), jnp.int32(0), (rids0, rslot0, nr0, chk0),
+        jnp.zeros((), bool),
     )
     (st, keys, pm, bodies, drift, t, _, nmax, nnear, ncoarse, nr,
-     nsorts, plast) = jax.lax.while_loop(outer_cond, outer_body, wcarry)
+     nsorts, plast, _, _) = jax.lax.while_loop(
+        outer_cond, outer_body, wcarry
+    )
     return ((st, keys, pm, drift), bodies, t, nmax, nnear, ncoarse, nr,
             nsorts, plast)
 
