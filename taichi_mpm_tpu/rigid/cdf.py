@@ -18,6 +18,7 @@ the build at 12 rigid bodies, same as the reference.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from taichi_mpm_tpu.config import SimConfig
@@ -152,6 +153,53 @@ def rasterize_rigid_boundary(xb, elem_world, bp_rid, num_rigids: int,
 # rigid rasterize + rigid_page_map, rigid_transfer.cpp:18-117,
 # mpm.cpp:1021-1076).
 # ---------------------------------------------------------------------------
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _tag_dilate_matrices():
+    """Static 0/1 matrices for RecordNodeCDF.tag_dilated_center.
+
+    G (27*64, 216): column m = extended-neighborhood slot (i,j,k) with
+    i,j,k in [-1,4] (m = (i+1)*36 + (j+1)*6 + (k+1)); row 64*E + l = 1
+    iff neighbor-offset E (Chebyshev index over {-1,0,1}^3) and lane
+    l = lx*16+ly*4+lz place that neighbor's node AT slot m, i.e.
+    (i,j,k) == E*4 + (lx,ly,lz). Each slot receives exactly one
+    (E, l) source.
+
+    H (216, 64): H[m, l] = 1 iff slot m lies in the 3^3 neighborhood
+    of lane l's node: |i - lx| <= 1 per axis."""
+    import numpy as _np
+
+    offs27 = [(dx_, dy_, dz_) for dx_ in (-1, 0, 1)
+              for dy_ in (-1, 0, 1) for dz_ in (-1, 0, 1)]
+    G = _np.zeros((27 * 64, 216), _np.float32)
+    for ei, e in enumerate(offs27):
+        for lx in range(4):
+            for ly in range(4):
+                for lz in range(4):
+                    i = e[0] * 4 + lx
+                    j = e[1] * 4 + ly
+                    k = e[2] * 4 + lz
+                    if all(-1 <= v <= 4 for v in (i, j, k)):
+                        m = (i + 1) * 36 + (j + 1) * 6 + (k + 1)
+                        G[ei * 64 + lx * 16 + ly * 4 + lz, m] = 1.0
+    H = _np.zeros((216, 64), _np.float32)
+    for i in range(-1, 5):
+        for j in range(-1, 5):
+            for k in range(-1, 5):
+                m = (i + 1) * 36 + (j + 1) * 6 + (k + 1)
+                for lx in range(4):
+                    for ly in range(4):
+                        for lz in range(4):
+                            if (abs(i - lx) <= 1 and abs(j - ly) <= 1
+                                    and abs(k - lz) <= 1):
+                                H[m, lx * 16 + ly * 4 + lz] = 1.0
+    # numpy, NOT jnp: the lru_cache must never hold traced arrays
+    # (a cached tracer escaping its trace is an UnexpectedTracerError)
+    return G, H
 
 
 def _dilate_blocks(occ3):
@@ -442,14 +490,20 @@ class RecordNodeCDF:
         """(Kr*64 + 1,) bool D with D[row(c)] = OR_{e in {-1,0,1}^3}
         (states[c+e] != 0) — the quadratic-stencil near-rigid test
         collapsed to ONE record lookup at the stencil CENTER node
-        c = base+1 (always in-grid, unlike the base; compact stage 2
-        previously paid 27 record lookups per candidate, VERDICT r3
-        #3). Each record's (4,4,4) tag plane is extended to (6,6,6) by
-        stitching all 26 neighbor planes DIRECTLY through rslot_map (no
-        chaining through intermediate records — exact for any map
-        holding all tagged blocks, which rasterize guarantees), then
-        OR-reduced separably. 26 gathers of Kr rows per substep,
-        independent of candidate count.
+        c = base+1 (always in-grid under the position clamp; compact
+        stage 2 previously paid 27 record lookups per candidate,
+        VERDICT r3 #3).
+
+        TPU form (round-4 rewrite): everything stays 2-D (Kr, lanes) —
+        a first (Kr,6,6,6) formulation used 4-D tiny-minor-dim arrays
+        and windowed updates, which padded ~21x and serialized; traced
+        at ~10 ms/substep. Here the 26 neighbor planes are row-gathered
+        through rslot_map into (Kr, 27*64) (no chaining through
+        intermediate records — exact for any map holding all tagged
+        blocks), the 6^3 extended-neighborhood assembly is ONE static
+        0/1 selection matmul (64*27 -> 216 slots; the halo-merge
+        idiom), and the 27-shift OR is a second selection matmul
+        followed by a > 0 threshold (counts are exact small ints).
 
         EXACTNESS CONDITION for replacing the per-candidate loop: every
         candidate's center-node block must be on-record (else its D row
@@ -468,49 +522,44 @@ class RecordNodeCDF:
         bx = bid // (nbp[2] * nbp[1])
         bco = (bx, by, bz)
 
-        T = (self.states[: Kr * 64] != 0).reshape(Kr, 4, 4, 4)
-        Ts = jnp.concatenate([T, jnp.zeros((1, 4, 4, 4), bool)])
-        ext = jnp.zeros((Kr, 6, 6, 6), bool).at[:, 1:5, 1:5, 1:5].set(T)
-        box = {-1: slice(0, 1), 0: slice(1, 5), 1: slice(5, 6)}
-        src = {-1: slice(3, 4), 0: slice(None), 1: slice(0, 1)}
-        for dx_ in (-1, 0, 1):
-            for dy_ in (-1, 0, 1):
-                for dz_ in (-1, 0, 1):
-                    dxyz = (dx_, dy_, dz_)
-                    if dxyz == (0, 0, 0):
-                        continue
-                    okn = live
-                    for k in range(3):
-                        okn = okn & (bco[k] + dxyz[k] >= 0)
-                        okn = okn & (bco[k] + dxyz[k] < nbp[k])
-                    nbid = (
-                        bid
-                        + dxyz[0] * nbp[1] * nbp[2]
-                        + dxyz[1] * nbp[2]
-                        + dxyz[2]
-                    )
-                    ns = self.rslot_map[
-                        jnp.clip(jnp.where(okn, nbid, total), 0, total)
-                    ]
-                    ns = jnp.where(okn & (ns < Kr), ns, Kr)
-                    tn = Ts[ns]
-                    ext = ext.at[
-                        (slice(None), box[dx_], box[dy_], box[dz_])
-                    ].set(tn[(slice(None), src[dx_], src[dy_],
-                              src[dz_])])
-        D = ext
-        for axi in (1, 2, 3):
-            n_out = D.shape[axi] - 2
-
-            def sl(e, axi=axi, n_out=n_out):
-                return tuple(
-                    slice(None) if j != axi else slice(1 + e, 1 + e + n_out)
-                    for j in range(4)
-                )
-
-            D = D[sl(-1)] | D[sl(0)] | D[sl(1)]
+        T = (self.states[: Kr * 64] != 0).reshape(Kr, 64).astype(
+            jnp.float32
+        )
+        Ts = jnp.concatenate([T, jnp.zeros((1, 64), jnp.float32)])
+        offs27 = [(dx_, dy_, dz_) for dx_ in (-1, 0, 1)
+                  for dy_ in (-1, 0, 1) for dz_ in (-1, 0, 1)]
+        planes = []
+        for dxyz in offs27:
+            if dxyz == (0, 0, 0):
+                planes.append(T)
+                continue
+            okn = live
+            for k in range(3):
+                okn = okn & (bco[k] + dxyz[k] >= 0)
+                okn = okn & (bco[k] + dxyz[k] < nbp[k])
+            nbid = (
+                bid
+                + dxyz[0] * nbp[1] * nbp[2]
+                + dxyz[1] * nbp[2]
+                + dxyz[2]
+            )
+            ns = self.rslot_map[
+                jnp.clip(jnp.where(okn, nbid, total), 0, total)
+            ]
+            ns = jnp.where(okn & (ns < Kr), ns, Kr)
+            planes.append(Ts[ns])
+        Tcat = jnp.concatenate(planes, axis=1)  # (Kr, 27*64)
+        G, H = _tag_dilate_matrices()
+        E = jax.lax.dot_general(
+            Tcat, G, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Kr, 216) 0/1 extended 6^3 neighborhood
+        Dcnt = jax.lax.dot_general(
+            E, H, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Kr, 64) neighbor-tag counts
         return jnp.concatenate(
-            [D.reshape(Kr * 64), jnp.zeros((1,), bool)]
+            [(Dcnt > 0.5).reshape(Kr * 64), jnp.zeros((1,), bool)]
         )
 
     def stencil_tagged(self, center):

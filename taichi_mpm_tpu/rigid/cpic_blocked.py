@@ -264,14 +264,13 @@ def p2g_correction(
     pos = x * cfg.inv_dx
     base, w, dw = bspline_weights(cfg.kernel_order, pos)
 
-    K4 = rec.shape[0] * rec.shape[1] // 256  # K (256-lane records)
-    # (K+1, 4, 64) channel-windowed view: one scatter with a 4-element
-    # update window per (node, offset) replaces the previous four
-    # per-channel scatters (mv x3 + mass) — scatter cost on TPU tracks
-    # row count, and this loop runs 27 offsets x budget rows.
-    rec3 = jnp.concatenate(
-        [rec.reshape(K4, 4, 64), jnp.zeros((1, 4, 64), rec.dtype)]
-    )
+    # per-channel FLAT scatters: a (B, 4)-windowed scatter was tried
+    # here (round 4) and Mosaic/XLA lowered it to a SERIALIZED per-row
+    # loop (~1024 trips/substep in the trace) — flat 1-D scatter-adds
+    # stay native. Don't re-window without checking a trace.
+    flat = rec.reshape(-1)
+    pad = jnp.zeros((256,), flat.dtype)  # scratch row for sentinel slots
+    flat = jnp.concatenate([flat, pad])
     J_tot = jnp.zeros((R, d), jnp.float32)
     tau_tot = jnp.zeros((R, 1 if d == 2 else 3), jnp.float32)
 
@@ -295,17 +294,16 @@ def p2g_correction(
         compat = _compatible(s, pstates, smask)
         hit = valid & inb & (~compat) & (nrid >= 0)
 
-        # subtract the plain scatter w*(mv + A dpos, m) — one windowed
-        # scatter of [mv(3), mass] per offset
+        # subtract the plain scatter w*(mv + A dpos, m)
         mom = mv_p + mv_small(aff, dpos)
         slot, lane = _rec_slot_lane(nidx, pm["slot_map"], cfg)
-        srow = jnp.where(slot < K, slot, K4)
-        upd = jnp.stack(
-            [-wo * mom[:, 0], -wo * mom[:, 1], -wo * mom[:, 2],
-             -wo * mass], -1,
-        )
-        rec3 = rec3.at[srow, :, lane].add(
-            jnp.where(hit[:, None], upd, 0.0)
+        lin_base = jnp.where(slot < K, slot * 256, K * 256)
+        for c in range(3):
+            flat = flat.at[lin_base + c * 64 + lane].add(
+                jnp.where(hit, -wo * mom[:, c], 0.0)
+            )
+        flat = flat.at[lin_base + 192 + lane].add(
+            jnp.where(hit, -wo * mass, 0.0)
         )
 
         # rigid impulse (transfer.cpp:241-252). Small-R scenes use the
@@ -329,7 +327,7 @@ def p2g_correction(
         J_tot = J_tot + Jo
         tau_tot = tau_tot + tauo
 
-    return rec3[:-1].reshape(rec.shape), J_tot, tau_tot
+    return flat[:-256].reshape(rec.shape), J_tot, tau_tot
 
 
 def g2p_correction(
@@ -352,12 +350,9 @@ def g2p_correction(
 
     pos = x * cfg.inv_dx
     base, w, _ = bspline_weights(cfg.kernel_order, pos)
-    Kv = vrec.shape[0] * vrec.shape[1] // 192
-    # (K+1, 3, 64) channel-windowed view: one gather with a 3-element
-    # window per (node, offset) replaces three per-channel gathers
-    vrec3 = jnp.concatenate(
-        [vrec.reshape(Kv, 3, 64), jnp.zeros((1, 3, 64), vrec.dtype)]
-    )
+    # flat per-channel gathers (windowed gathers serialize; see
+    # p2g_correction)
+    vflat = jnp.concatenate([vrec.reshape(-1), jnp.zeros((192,), vrec.dtype)])
 
     B = idx.shape[0]
     dv = jnp.zeros((B, d), jnp.float32)
@@ -377,7 +372,10 @@ def g2p_correction(
         incompat = valid & inb & (~compat)
 
         slot, lane = _rec_slot_lane(nidx, pm["slot_map"], cfg)
-        gv = vrec3[jnp.where(slot < K, slot, Kv), :, lane]  # (B, 3)
+        lin_base = jnp.where(slot < K, slot * 192, K * 192)
+        gv = jnp.stack(
+            [vflat[lin_base + c * 64 + lane] for c in range(3)], -1
+        )
 
         xg = nidx.astype(jnp.float32) * cfg.dx
         if world_off is not None:
