@@ -201,19 +201,35 @@ class MPM:
         pos = np.asarray(pos, np.float32)
         n, d = pos.shape
         assert d == self.cfg.dim
+        # texture-modulated per-particle params (mpm.cpp:100-109:
+        # cohesion_tex / theta_c_tex / theta_s_tex sampled at each seed
+        # coordinate; generalized to any kwarg pack_params stores
+        # verbatim). Values land in the per-particle (n, 8) params
+        # array, which every material path already reads row-wise.
+        tex_kw = {
+            k[:-4]: mat_kw.pop(k)
+            for k in list(mat_kw)
+            if k.endswith("_tex") and callable(mat_kw[k])
+        }
         mat_id, params, aux0 = materials.pack_params(type, **mat_kw)
         v = np.zeros((n, d), np.float32)
         if vel is not None:
             v[:] = np.asarray(vel, np.float32)
         vol_ = float(vol) if vol is not None else self.cfg.dx**d / ppc
         mass_ = float(mass) if mass is not None else vol_ * density
+        params_arr = np.broadcast_to(
+            np.asarray(params, np.float32), (n, 8)
+        ).copy()
+        for name, tex in tex_kw.items():
+            slot = materials.param_slot(type, name, mat_kw)
+            params_arr[:, slot] = np.asarray(
+                tex(pos), np.float32
+            ).reshape(n)
         batch = dict(
             x=pos,
             v=v,
             mat=np.full((n,), mat_id, np.int32),
-            params=np.broadcast_to(
-                np.asarray(params, np.float32), (n, 8)
-            ).copy(),
+            params=params_arr,
             aux=np.full((n,), aux0, np.float32),
             mass=np.full((n,), mass_, np.float32),
             vol=np.full((n,), vol_, np.float32),

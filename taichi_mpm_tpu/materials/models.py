@@ -183,6 +183,35 @@ def pack_params(material: str, **kw) -> tuple:
     return m, tuple(p), aux0
 
 
+def param_slot(material: str, name: str, base_kw=None) -> int:
+    """Slot in the 8-wide params vector storing kwarg `name` VERBATIM.
+
+    Backs texture-modulated per-particle material params (reference
+    mpm.cpp:100-109 samples cohesion_tex/theta_c_tex/theta_s_tex at
+    each seed coordinate): the per-particle texture value can be
+    written straight into the slot only if pack_params stores the
+    kwarg unchanged. Discovered by probing pack_params with two
+    sentinel values; raises for kwargs that are derived (e.g. E feeds
+    both Lame slots) or unused by the material."""
+    base_kw = dict(base_kw or {})
+    probes = (0.1234567, 0.7654321)
+    outs = []
+    for probe in probes:
+        kw = dict(base_kw)
+        kw[name] = probe
+        _, p, _ = pack_params(material, **kw)
+        outs.append(p)
+    slots = [i for i in range(8) if outs[0][i] != outs[1][i]]
+    if len(slots) != 1 or any(
+        outs[j][slots[0]] != probes[j] for j in range(2)
+    ):
+        raise ValueError(
+            f"material {material!r} does not store {name!r} verbatim in "
+            f"a single param slot; *_tex modulation unsupported for it"
+        )
+    return slots[0]
+
+
 # ---------------------------------------------------------------------------
 # Stress ("calculate_force" = -vol * P F^T)
 # ---------------------------------------------------------------------------

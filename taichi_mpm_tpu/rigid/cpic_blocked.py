@@ -412,11 +412,20 @@ def rigid_prologue(bodies, scene, cfg: SimConfig, gcfg: SimConfig, dt,
     identically on replicated bodies (deterministic, collective-free).
     Returns (bodies, ncdf, n_r, xb_world).
 
-    rmap = (rids, rslot_map, n_r) reuses a LAZILY-maintained rigid page
-    map (cdf.rigid_page_map_checked) instead of rebuilding it — the
-    caller is responsible for the staleness check (the CDF VALUES are
-    still re-rasterized every call; only the block indexing is cached,
-    which is value-neutral while the map covers all writes)."""
+    rmap = (rids, rslot_map, n_r[, chk]) reuses a LAZILY-maintained
+    rigid page map (cdf.rigid_page_map_checked) instead of rebuilding
+    it (the CDF VALUES are still re-rasterized every call; only the
+    block indexing is cached, which is value-neutral while the map
+    covers all writes). With the optional 4th element `chk` (the
+    checked map's staleness plane) the prologue verifies the plane
+    against the ACTUAL post-rigidify boundary positions immediately
+    before the rasterize consumes the map, and falls back to an inline
+    dilate=4 rebuild via lax.cond when a rigidify/articulate step has
+    pushed a particle off the checked set — closing the one-advance gap
+    between the caller's between-substep check and the in-substep use
+    (the collision projection inside rigidify has no drift bound, so
+    the caller's check alone cannot guarantee coverage). Without chk
+    the caller owns the guarantee."""
     from taichi_mpm_tpu.rigid import articulation as artic
     from taichi_mpm_tpu.rigid import collision as coll
 
@@ -440,7 +449,25 @@ def rigid_prologue(bodies, scene, cfg: SimConfig, gcfg: SimConfig, dt,
             xb_g, elem_g = xb, elem_w
         if Kr > 0:
             if rmap is not None:
-                rids, rslot_map, n_r = rmap
+                rids, rslot_map, n_r = rmap[:3]
+                if len(rmap) == 4:
+                    # use-time exactness gate: the cached map is valid
+                    # only while every bp block sits inside the chk
+                    # plane; verify on the post-rigidify positions the
+                    # rasterize below will actually use (ADVICE r4).
+                    bid_now = blocked.block_id_of(xb_g, gcfg)
+                    ok = jnp.all(rmap[3][bid_now])
+                    rids, rslot_map, n_r = jax.lax.cond(
+                        ok,
+                        lambda: (rids, rslot_map, n_r),
+                        # dilate=4 keeps the compact stage-2 dilated-
+                        # tag fast test exact (needs >= 3 at use-time
+                        # positions) and matches the lazy map's Kr
+                        # sizing.
+                        lambda: cdf.rigid_page_map(
+                            xb_g, gcfg, Kr, dilate=4
+                        ),
+                    )
             else:
                 rids, rslot_map, n_r = cdf.rigid_page_map(xb_g, gcfg, Kr)
             dist_r, rid_r, states_r, key_r = (

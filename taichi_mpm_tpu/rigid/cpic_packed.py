@@ -393,12 +393,18 @@ def cpic_packed_frame_carry(
     the old single-level scan.
 
     The RIGID PAGE MAP is lazy within the frame (Kr > 0): built once at
-    frame start via cdf.rigid_page_map_checked (dilate=2), reused while
-    every boundary particle's block stays inside the check plane, and
-    rebuilt in the outer loop when one leaves — exact coverage, so the
-    rasterized CDF values are identical to the per-substep rebuild
-    (only the indexing structure is cached). Kills the per-substep
-    total_blocks argsort that dominated the prologue at high res."""
+    frame start via cdf.rigid_page_map_checked (dilate=4/chk=1),
+    reused while every boundary particle's block stays inside the check
+    plane, and rebuilt in the outer loop when one leaves. The
+    between-substep check runs on post-advance bodies, but the NEXT
+    substep's prologue rigidifies (collision-projects) before
+    rasterizing — so rigid_prologue additionally gates on the
+    post-rigidify positions and cond-rebuilds inline when that
+    unbounded in-substep motion escapes the checked plane (ADVICE r4).
+    Net: exact coverage with no drift-bound assumption — the rasterized
+    CDF values are identical to the per-substep rebuild (only the
+    indexing structure is cached). Kills the per-substep total_blocks
+    argsort that dominated the prologue at high res."""
     st, keys, pm, drift0 = carry
     from taichi_mpm_tpu.ops import blocked as _blocked
     from taichi_mpm_tpu.rigid.body import boundary_particle_world
@@ -446,7 +452,7 @@ def cpic_packed_frame_carry(
             cpic_packed_substep_presorted(
                 st, keys, pm, bodies, t, cfg, scene, dt, near_budget, b1,
                 Kr, interpret=interpret,
-                rmap=(rids, rslot, nr_c) if lazy_rmap else None,
+                rmap=(rids, rslot, nr_c, chk) if lazy_rmap else None,
             )
         )
         stale = (~_bp_blocks_ok(bodies, chk)) if lazy_rmap else stale

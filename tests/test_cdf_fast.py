@@ -226,6 +226,87 @@ class TestLazyRigidMap:
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
         assert int(n1) == int(n2)
 
+    def test_prologue_stale_gate_rebuilds_inline(self):
+        """ADVICE r4 (medium): the lazy map's between-substep staleness
+        check runs on pre-rigidify bodies, but rigid_prologue moves
+        bodies before rasterizing — a crossing in that gap must NOT
+        silently drop CDF writes. The prologue's use-time gate (chk
+        verified on the post-rigidify positions, inline cond rebuild)
+        must make a deliberately-stale cached map produce a CDF
+        identical to the fresh build — while the ungated 3-tuple form
+        demonstrably corrupts it (proving the test has teeth)."""
+        import dataclasses
+
+        from taichi_mpm_tpu.core.solver import MPM
+        from taichi_mpm_tpu.ops import blocked
+        from taichi_mpm_tpu.rigid.body import boundary_particle_world
+        from taichi_mpm_tpu.rigid.cpic_blocked import rigid_prologue
+        from taichi_mpm_tpu.rigid.mesh import plate_mesh
+
+        rng = np.random.default_rng(11)
+        # res 64 (16 blocks/axis) + a small plate: the displaced map's
+        # dilate-4 footprint must genuinely MISS the true bp blocks
+        # (at low res the dilation covers the whole domain and the map
+        # can never go stale)
+        sim = MPM(res=(64, 64, 64), base_delta_t=2e-4,
+                  gravity=(0, -10.0, 0))
+        sim.add_particles(
+            "jelly",
+            pos=rng.uniform(0.4, 0.6, size=(32, 3)).astype(np.float32),
+            E=1e4, nu=0.3, density=1000,
+        )
+        sim.add_particles(
+            "rigid", mesh=plate_mesh(half_u=0.05, half_v=0.05, axis=1),
+            scripted_position=lambda t: (0.5, 0.45, 0.5),
+            scripted_rotation=lambda t: (0.0, 0.0, 0.0),
+            codimensional=True, friction=0.2,
+        )
+        sim._finalize()
+        cfg, scene, bodies = sim.cfg, sim.rigid_scene, sim.bodies
+        dt = cfg.base_dt
+        Kr = blocked.total_blocks_padded(cfg)  # ample, no overflow
+
+        _, ncdf_ref, _, xb = rigid_prologue(
+            bodies, scene, cfg, cfg, dt, Kr
+        )
+
+        # a map cached from bodies >4 blocks away in x: its dilate-4
+        # record set and chk plane miss the actual bp blocks entirely
+        far = dataclasses.replace(
+            bodies, pos=bodies.pos + jnp.asarray([0.4, 0.0, 0.0])
+        )
+        xb_far, _, _ = boundary_particle_world(
+            far, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        rids, rslot, nr, chk = cdf.rigid_page_map_checked(
+            xb_far, cfg, Kr, dilate=4, chk_dilate=1
+        )
+        assert not bool(jnp.all(chk[blocked.block_id_of(xb, cfg)]))
+
+        nodes = cfg.grid_nodes
+        ii = jnp.stack(jnp.meshgrid(
+            *[jnp.arange(n) for n in nodes], indexing="ij"
+        ), -1).reshape(-1, 3)
+        inb = jnp.ones((ii.shape[0],), bool)
+        s_ref, r_ref, d_ref = ncdf_ref.lookup(ii, inb)
+
+        # gated (4-tuple): identical to the fresh build
+        _, ncdf_g, _, _ = rigid_prologue(
+            bodies, scene, cfg, cfg, dt, Kr, rmap=(rids, rslot, nr, chk)
+        )
+        s_g, r_g, d_g = ncdf_g.lookup(ii, inb)
+        np.testing.assert_array_equal(np.asarray(s_g), np.asarray(s_ref))
+        np.testing.assert_array_equal(np.asarray(r_g), np.asarray(r_ref))
+        np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_ref))
+
+        # ungated (3-tuple): the stale map drops writes
+        _, ncdf_b, _, _ = rigid_prologue(
+            bodies, scene, cfg, cfg, dt, Kr, rmap=(rids, rslot, nr)
+        )
+        s_b, _, _ = ncdf_b.lookup(ii, inb)
+        assert not np.array_equal(np.asarray(s_b), np.asarray(s_ref))
+
 
 class TestMaskedBodyForms:
     def _bodies(self, R=3):

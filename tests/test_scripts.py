@@ -109,6 +109,8 @@ COMMON_RUNNER_SCENES = [
     ("scripts/mls-cpic/water_wheel.py", 2, 48, ()),
     ("scripts/benchmark/colliding_balls_3d_test.py", 2, 32, ()),
     ("scripts/benchmark/oscillating_jello.py", 2, 32, ()),
+    # texture-modulated per-particle cohesion (mpm.cpp:100-109)
+    ("scripts/sand_layers.py", 2, 32, ()),
 ]
 
 ASYNC_SCENES = [
