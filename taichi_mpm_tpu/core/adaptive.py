@@ -99,6 +99,46 @@ def adaptive_frame_fn(
     return p, t, n
 
 
+def adaptive_cpic_frame_fn(
+    p: Particles,
+    bodies,
+    t,
+    cfg: SimConfig,
+    scene,
+    frame_dt: float,
+    unit_dt: float,
+    max_dt: float,
+    strength_dt_mul: float = 1.0,
+    cfl_dt_mul: float = 1.0,
+    max_substeps: int = 100000,
+):
+    """Adaptive-dt frame over the COUPLED (CPIC) oracle substep — the
+    reference AsyncMPM reuses the full MPM::substep including rigid
+    coupling (async_mpm.cpp:330); dt is the POT-snapped global limit,
+    identical discipline to adaptive_frame_fn. Returns
+    (particles, bodies, t, substeps_taken)."""
+    from taichi_mpm_tpu.rigid.cpic import cpic_substep
+
+    t_end = t + frame_dt
+
+    def cond(carry):
+        _, _, tt, n = carry
+        return (tt < t_end - 1e-9) & (n < max_substeps)
+
+    def body(carry):
+        pp, bb, tt, n = carry
+        dt = dt_limit(pp, cfg, strength_dt_mul, cfl_dt_mul)
+        dt = snap_pot(dt, unit_dt, max_dt)
+        dt = jnp.minimum(dt, t_end - tt)
+        pp, bb, tt = cpic_substep(pp, bb, tt, cfg, scene, dt)
+        return pp, bb, tt, n + 1
+
+    p, bodies, t, n = jax.lax.while_loop(
+        cond, body, (p, bodies, t, jnp.int32(0))
+    )
+    return p, bodies, t, n
+
+
 class AsyncMPM(MPM):
     """Driver with adaptive dt (the reference's `async_mpm` simulation
     type, async_mpm.cpp:426-427, redesigned per module docstring).
@@ -129,7 +169,8 @@ class AsyncMPM(MPM):
         self.update_counter = 0
 
     def _build_jit(self, n_substeps: int):
-        assert self.bodies is None, "adaptive dt + CPIC not supported yet"
+        if self.bodies is not None:
+            return self._build_cpic_jit()
         cfg = self.cfg
         colliders = tuple(self.colliders)
         frame_dt = self.frame_dt
@@ -167,6 +208,89 @@ class AsyncMPM(MPM):
             )
             return p, t, n, jnp.int32(0)
 
+        return jax.jit(fn)
+
+    def _build_cpic_jit(self):
+        """Global adaptive dt over CPIC scenes (VERDICT r4 #5; the
+        reference AsyncMPM runs the full coupled substep,
+        async_mpm.cpp:330). Packed/fused production path when blocked
+        is available; oracle coupled while-loop otherwise. Per-block
+        buckets + CPIC stay unsupported."""
+        assert not self.per_block, (
+            "per-block bucketed dt + CPIC not supported yet; use "
+            "AsyncMPM(per_block=False) for global adaptive dt"
+        )
+        cfg = self.cfg
+        if self._use_blocked() and cfg.dim == 3 and self.fused:
+            near, b1, Kr = self._near_budget_cap()
+            return self._build_cpic_blocked_jit(
+                0, self._active_block_cap(), near, b1, Kr
+            )
+        # oracle coupled adaptive frame (2D scenes / unfused fallback)
+        self._blocked_cap = None
+        scene = self.rigid_scene
+        frame_dt, unit = self.frame_dt, self.unit_delta_t
+        max_dt, smul, cmul = (
+            cfg.base_dt, self.strength_dt_mul, self.cfl_dt_mul
+        )
+
+        def fn(p, bodies, t):
+            return adaptive_cpic_frame_fn(
+                p, bodies, t, cfg, scene, frame_dt, unit, max_dt,
+                smul, cmul,
+            )
+
+        return jax.jit(fn)
+
+    def _build_cpic_blocked_jit(self, n_substeps: int, cap: int,
+                                near: int, b1: int, Kr: int):
+        """Adaptive twin of MPM._build_cpic_blocked_jit: same budget
+        bookkeeping (so MPM._step_impl's growth loop re-jits through
+        this override), but the frame is
+        cpic_packed_adaptive_frame_carry with a 9th output (substeps
+        taken)."""
+        if not self.fused:
+            # Mosaic fallback path: no packed adaptive form unfused
+            return self._build_cpic_jit()
+        cfg = self.cfg
+        scene = self.rigid_scene
+        self._blocked_cap = cap
+        self._near_budget = near
+        self._near_b1 = b1
+        self._rigid_cap = Kr
+        _ = self.particles
+        self._pcarry = None
+        cap_p = self.particles.capacity
+        self._cap_p = cap_p
+
+        from taichi_mpm_tpu.ops import packed
+        from taichi_mpm_tpu.rigid.cpic_packed import (
+            cpic_packed_adaptive_frame_carry,
+            cpic_packed_pack_carry,
+        )
+
+        frame_dt, unit = self.frame_dt, self.unit_delta_t
+        max_dt, smul, cmul = (
+            cfg.base_dt, self.strength_dt_mul, self.cfl_dt_mul
+        )
+
+        @jax.jit
+        def pack_fn(p):
+            return cpic_packed_pack_carry(p, cfg, cap, two_d=True)
+
+        def fn(carry, bodies, t):
+            (carry, bodies, t, n_act, n_near, n_coarse, n_r, _,
+             plast, n) = cpic_packed_adaptive_frame_carry(
+                carry, bodies, t, cfg, scene, frame_dt, unit, max_dt,
+                cap, near, b1, Kr, smul, cmul,
+            )
+            return (carry, bodies, t, n_act, n_near, n_coarse, n_r,
+                    plast, n)
+
+        self._pack_jit = pack_fn
+        self._unpack_jit = jax.jit(
+            lambda st: packed.unpack_particles(st, cap_p)
+        )
         return jax.jit(fn)
 
     def _build_bucketed_jit(self):
@@ -250,6 +374,16 @@ class AsyncMPM(MPM):
     def step(self, frame_dt=None):
         if self.particles is None or self._pending:
             self._finalize()
+        if self.bodies is not None:
+            # CPIC scenes route through MPM.step (budget auto-grow +
+            # Mosaic fallback); the adaptive frames report their
+            # data-dependent substep count via last_substeps
+            MPM.step(self, frame_dt)
+            self.update_counter += (
+                int(getattr(self, "last_substeps", 0))
+                * int(self.particles.count())
+            )
+            return self.particles
         if self._frame_jit is None:
             self._frame_jit = self._build_jit(0)
             self._frame_substeps = 0

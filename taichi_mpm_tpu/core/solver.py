@@ -721,9 +721,14 @@ class MPM:
             while True:
                 if self._pcarry is None:
                     self._pcarry = self._pack_jit(self.particles)
+                out = self._frame_jit(self._pcarry, self.bodies, self.t)
+                # adaptive CPIC frames (core/adaptive.AsyncMPM) append
+                # the data-dependent substep count as a 9th output
                 carry2, b2, t2, n_act, n_near, n_coarse, n_r, plast = (
-                    self._frame_jit(self._pcarry, self.bodies, self.t)
+                    out[:8]
                 )
+                if len(out) > 8:
+                    self.last_substeps = int(out[8])
                 n_act, n_near, n_coarse, n_r = (
                     int(n_act), int(n_near), int(n_coarse), int(n_r)
                 )
@@ -759,9 +764,10 @@ class MPM:
                     self._frame_substeps, cap, near, max(b1, near), Kr
                 )
         elif self.bodies is not None:
-            self.particles, self.bodies, self.t = self._frame_jit(
-                self.particles, self.bodies, self.t
-            )
+            out = self._frame_jit(self.particles, self.bodies, self.t)
+            self.particles, self.bodies, self.t = out[:3]
+            if len(out) > 3:  # adaptive oracle CPIC substep count
+                self.last_substeps = int(out[3])
         elif getattr(self, "_blocked_cap", None):
             # blocked path: frame returns peak active-block occupancy;
             # on page-map overflow re-jit with a larger capacity and

@@ -528,3 +528,135 @@ def cpic_packed_frame(
     )
     return (packed.unpack_particles(carry[0], cap), bodies, t, nmax,
             nnear, ncoarse, nr, nsorts + 1, plast)
+
+
+def cpic_packed_adaptive_frame_carry(
+    carry, bodies, t, cfg: SimConfig, scene, frame_dt, unit_dt, max_dt,
+    K: int, near_budget: int, b1: int = 0, Kr: int = 0,
+    strength_dt_mul: float = 1.0, cfl_dt_mul: float = 1.0,
+    max_substeps: int = 100000, interpret: bool = False,
+):
+    """Global-adaptive-dt CPIC frame on the packed carry (VERDICT r4
+    #5: the reference's AsyncMPM reuses the full coupled substep
+    incl. rigid coupling, async_mpm.cpp:330; here the per-substep dt
+    is the POT-snapped global limit over packed rows, exactly the
+    plain path's packed_adaptive_frame discipline).
+
+    Identical loop structure to cpic_packed_frame_carry (two-level,
+    lazy sort + lazy rigid page map with the in-prologue stale gate);
+    termination is time-based (t reaches t + frame_dt) instead of a
+    substep count. Returns (carry, bodies, t, max n_act, max n_near,
+    max n_coarse, max n_r, n_sorts, plast, n_substeps_taken)."""
+    st, keys, pm, drift0 = carry
+    from taichi_mpm_tpu.core.adaptive import snap_pot
+    from taichi_mpm_tpu.ops import blocked as _blocked
+    from taichi_mpm_tpu.rigid.body import boundary_particle_world
+
+    t_end = t + frame_dt
+    lazy_rmap = Kr > 0
+
+    def _bp_blocks_ok(bodies, chk):
+        xb, _, _ = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        bid = _blocked.block_id_of(xb, cfg)
+        return jnp.all(chk[bid])
+
+    def _build_rmap(bodies):
+        xb, _, _ = boundary_particle_world(
+            bodies, scene.bp_rid, scene.bp_offset, scene.bp_normal,
+            scene.bp_elem,
+        )
+        return cdf.rigid_page_map_checked(xb, cfg, Kr, dilate=4,
+                                          chk_dilate=1)
+
+    if lazy_rmap:
+        rids0, rslot0, nr0, chk0 = _build_rmap(bodies)
+    else:
+        total = _blocked.total_blocks_padded(cfg)
+        rids0 = jnp.zeros((1,), jnp.int32)
+        rslot0 = jnp.zeros((1,), jnp.int32)
+        nr0 = jnp.int32(0)
+        chk0 = jnp.ones((total + 1,), bool)
+
+    def not_done(tt, n):
+        return (tt < t_end - 1e-9) & (n < max_substeps)
+
+    def inner_cond(c):
+        (st, keys, pm, bodies, drift, tt, n, nnear, ncoarse, nr,
+         plast, rm, stale) = c
+        return not_done(tt, n) & (drift < 0.45) & ~stale
+
+    def inner_body(c):
+        (st, keys, pm, bodies, drift, tt, n, nnear, ncoarse, nr,
+         plast, rm, stale) = c
+        rids, rslot, nr_c, chk = rm
+        dt = packed.dt_limit_packed(
+            st, cfg, strength_dt_mul, cfl_dt_mul
+        )
+        dt = snap_pot(dt, unit_dt, max_dt)
+        dt = jnp.minimum(dt, t_end - tt)
+        (st, bodies, tt), n_near, n_coarse, n_r, vmax, dplast = (
+            cpic_packed_substep_presorted(
+                st, keys, pm, bodies, tt, cfg, scene, dt, near_budget,
+                b1, Kr, interpret=interpret,
+                rmap=(rids, rslot, nr_c, chk) if lazy_rmap else None,
+            )
+        )
+        stale = (~_bp_blocks_ok(bodies, chk)) if lazy_rmap else stale
+        return (st, keys, pm, bodies,
+                drift + dt * cfg.inv_dx * vmax, tt,
+                n + 1, jnp.maximum(nnear, n_near),
+                jnp.maximum(ncoarse, n_coarse), jnp.maximum(nr, n_r),
+                plast + dplast, rm, stale)
+
+    def outer_cond(c):
+        (st, keys, pm, bodies, drift, tt, n, nmax, nnear, ncoarse, nr,
+         nsorts, plast, rm, stale) = c
+        return not_done(tt, n) | (drift >= 0.45)
+
+    def outer_body(c):
+        (st, keys, pm, bodies, drift, tt, n, nmax, nnear, ncoarse, nr,
+         nsorts, plast, rm, stale) = c
+        (st, keys, pm, bodies, drift, tt, n, nnear, ncoarse, nr,
+         plast, rm, stale) = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (st, keys, pm, bodies, drift, tt, n, nnear, ncoarse, nr,
+             plast, rm, stale),
+        )
+        need = drift >= 0.45
+
+        def do_resort(st):
+            return packed.sort_and_map(
+                jax.lax.optimization_barrier(st), cfg, K
+            )
+
+        def keep(st):
+            return st, keys, pm
+
+        st, keys, pm = jax.lax.cond(need, do_resort, keep, st)
+        if lazy_rmap:
+            rm = jax.lax.cond(
+                stale, lambda: _build_rmap(bodies), lambda: rm
+            )
+            nr = jnp.maximum(nr, rm[2])
+            stale = jnp.zeros((), bool)
+        drift = jnp.where(need, 0.0, drift)
+        nsorts = nsorts + need.astype(jnp.int32)
+        return (st, keys, pm, bodies, drift, tt, n,
+                jnp.maximum(nmax, pm["n_act"]), nnear, ncoarse, nr,
+                nsorts, plast, rm, stale)
+
+    wcarry = (
+        st, keys, pm, bodies, drift0, t, jnp.int32(0), pm["n_act"],
+        jnp.int32(0), jnp.int32(0), jnp.maximum(jnp.int32(0), nr0),
+        jnp.int32(0), jnp.int32(0), (rids0, rslot0, nr0, chk0),
+        jnp.zeros((), bool),
+    )
+    (st, keys, pm, bodies, drift, t, n, nmax, nnear, ncoarse, nr,
+     nsorts, plast, _, _) = jax.lax.while_loop(
+        outer_cond, outer_body, wcarry
+    )
+    return ((st, keys, pm, drift), bodies, t, nmax, nnear, ncoarse, nr,
+            nsorts, plast, n)

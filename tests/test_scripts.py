@@ -118,6 +118,8 @@ ASYNC_SCENES = [
     ("scripts/async/combo.py", 2, 32),
     ("scripts/async/sand.py", 2, 32),
     ("scripts/async/slope.py", 2, 32),
+    # adaptive dt over a CPIC scene (async_mpm.cpp:330 substep reuse)
+    ("scripts/async/wheel.py", 2, 64),
 ]
 
 
