@@ -323,12 +323,19 @@ def main():
     # GB/s = that traffic / measured substep time, vs the v5e chip peak
     # (~819 GB/s). This is a LOWER bound on achieved bandwidth (extra
     # copies the implementation still performs are not credited).
-    K_blocks = (cells // 4 + 3) ** 3  # dilated occupancy estimate
+    # K from the run's OWN page map (the persistent carry's n_act),
+    # not a cube-shaped estimate, so the figure stays meaningful for
+    # any scene shape; falls back to the dilated-cube formula when the
+    # carry is unavailable (ADVICE r4).
+    try:
+        K_blocks = int(sim._pcarry[2]["n_act"])
+    except Exception:
+        K_blocks = (cells // 4 + 3) ** 3  # dilated occupancy estimate
     state_bytes = 3 * 192 * n_particles
     grid_bytes = K_blocks * (2 * 5488 + 2 * 12288)
     sub_s = best / substeps
     bw = (state_bytes + grid_bytes) / sub_s / 1e9
-    peak = 819.0  # v5e HBM GB/s
+    peak = 819.0  # v5e HBM GB/s (the chip this harness runs on)
     print(
         json.dumps(
             {
@@ -340,6 +347,7 @@ def main():
                 "ms_per_substep": sub_s * 1e3,
                 "state_bw_gbps": round(bw, 1),
                 "pct_of_peak_bw": round(100.0 * bw / peak, 1),
+                "bw_basis": "v5e HBM peak 819 GB/s; K from run page map",
                 # the target is a v5p-8 aggregate; this run is ONE v5e
                 # chip (~1/3.4 the HBM bandwidth of a v5p chip), so
                 # vs_baseline compares against the per-chip share

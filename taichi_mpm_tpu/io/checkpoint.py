@@ -26,19 +26,26 @@ def _flatten(prefix: str, obj) -> dict:
     return out
 
 
-def _restore(cls_instance, prefix: str, data, grow_to: int | None = None) -> object:
-    """Replace array fields from the npz. When ``grow_to`` is given, each
-    restored array covers rows [0:snap_P) and rows [snap_P:grow_to) keep
-    the scene's freshly-initialized (inactive) values — so a snapshot can
-    be resumed into a LARGER-capacity scene, like the reference's .tcb
-    load rebuilding pools at the snapshot's size (mpm.cpp:941-958)."""
+def _restore(cls_instance, prefix: str, data, grow_to: int | None = None,
+             snap_cap: int | None = None) -> object:
+    """Replace array fields from the npz. When ``grow_to`` is given, a
+    restored array whose leading dim IS the snapshot's particle
+    capacity (``snap_cap``) covers rows [0:snap_cap) and rows
+    [snap_cap:grow_to) keep the scene's freshly-initialized (inactive)
+    values — so a snapshot can be resumed into a LARGER-capacity scene,
+    like the reference's .tcb load rebuilding pools at the snapshot's
+    size (mpm.cpp:941-958). Arrays with any other leading dim (fixed
+    tables etc.) are restored verbatim — gating on snap_cap rather than
+    on shape[0] < grow_to keeps a future non-capacity-leading field
+    from being silently padded with current-field rows (ADVICE r4)."""
     kw = {}
     for f in dataclasses.fields(cls_instance):
         key = f"{prefix}.{f.name}"
         if key not in data:
             continue
         a = jnp.asarray(data[key])
-        if grow_to is not None and a.shape[0] < grow_to:
+        if (grow_to is not None and snap_cap is not None
+                and a.shape[0] == snap_cap and snap_cap < grow_to):
             cur = getattr(cls_instance, f.name)
             a = jnp.concatenate([a, cur[a.shape[0]:]], axis=0)
         kw[f.name] = a
@@ -84,7 +91,8 @@ def load_checkpoint(path: str, sim) -> None:
             "snapshot capacity"
         )
     sim.particles = _restore(
-        sim.particles, "p", data, grow_to=sim.particles.capacity
+        sim.particles, "p", data, grow_to=sim.particles.capacity,
+        snap_cap=snap_cap,
     )
     sim._pcarry = None
     if meta["has_bodies"]:
