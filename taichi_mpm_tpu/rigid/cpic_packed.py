@@ -164,8 +164,20 @@ def compact_near_rigid_packed(
             exact = exact | (s != 0)
     exact = valid1 & (exact | (pstates != 0))
 
-    order2 = jnp.argsort(jnp.where(exact, 0, 1), stable=True).astype(jnp.int32)
+    # stable 0/1 partition via prefix sums + one int32 scatter — the
+    # former stable argsort lowered to a TPU sort custom-call costing
+    # ~13 ms/substep at b1~64k (r5 water_wheel res-256 trace), ~200x
+    # the scatter's cost; order within each class is preserved exactly
+    # like the stable sort it replaces
     n_exact = jnp.sum(exact.astype(jnp.int32))
+    rank = jnp.where(
+        exact,
+        jnp.cumsum(exact.astype(jnp.int32)) - 1,
+        n_exact + jnp.cumsum((~exact).astype(jnp.int32)) - 1,
+    )
+    order2 = jnp.zeros((B1,), jnp.int32).at[rank].set(
+        jnp.arange(B1, dtype=jnp.int32)
+    )
     idx = idx1[order2[:budget]]
     valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(n_exact, budget)
     return idx, valid, n_exact, n_coarse
