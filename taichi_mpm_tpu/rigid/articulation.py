@@ -109,11 +109,17 @@ def _project_one(b: RigidBodies, a: Articulation) -> RigidBodies:
             w = L / (I0 + I1)
             omega = b.omega.at[i0].set(w[None]).at[i1].set(w[None])
         else:
+            # explicit adjugate inverses: jnp.linalg.inv/solve on a
+            # 3x3 lower to LuDecompositionBlock custom-calls, and this
+            # runs inside the 100-iteration projection fori_loop every
+            # substep (300 serialized launches; r5 res-256 trace)
+            from taichi_mpm_tpu.rigid.cdf import _explicit_inv
+
             eye = jnp.eye(3, dtype=jnp.float32)
-            I0 = jnp.linalg.inv(Iinv[i0] + 1e-12 * eye)
-            I1 = jnp.linalg.inv(Iinv[i1] + 1e-12 * eye)
+            I0 = _explicit_inv(Iinv[i0] + 1e-12 * eye)
+            I1 = _explicit_inv(Iinv[i1] + 1e-12 * eye)
             L = I0 @ b.omega[i0] + I1 @ b.omega[i1]
-            w = jnp.linalg.solve(I0 + I1, L)
+            w = _explicit_inv(I0 + I1) @ L
             omega = b.omega.at[i0].set(w).at[i1].set(w)
         return dataclasses.replace(b, omega=omega)
     if a.kind == "frozen":
@@ -142,8 +148,12 @@ def _project_one(b: RigidBodies, a: Articulation) -> RigidBodies:
                 axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-30)
                 cur = jnp.sum((b.omega[i0] - b.omega[i1]) * axis)
                 corr = a.angular_velocity - cur
+                from taichi_mpm_tpu.rigid.cdf import _explicit_inv
+
                 eye = jnp.eye(3, dtype=jnp.float32)
-                L = jnp.linalg.solve(Iinv[i0] + Iinv[i1] + 1e-12 * eye, axis * corr)
+                L = _explicit_inv(Iinv[i0] + Iinv[i1] + 1e-12 * eye) @ (
+                    axis * corr
+                )
                 b = _apply_torque(b, i0, L)
                 b = _apply_torque(b, i1, -L)
         return b
@@ -176,9 +186,21 @@ def _penalize_one(b: RigidBodies, a: Articulation, dt) -> RigidBodies:
 def articulate(
     b: RigidBodies, articulations: Tuple[Articulation, ...], dt, iterations: int = 100
 ) -> RigidBodies:
-    """apply -> iterations x project -> penalize (mpm.h:308-318)."""
+    """apply -> iterations x project -> penalize (mpm.h:308-318).
+
+    The Gauss-Seidel iteration count exists for CHAINS of coupled
+    constraints; a lone rotation/frozen/single-anchor-distance
+    articulation is an exact idempotent projection, so one pass
+    converges and the remaining 99 trips would only replay ~30 tiny
+    (3,3) device ops each (~3000 launches/substep — this dominated the
+    r5 res-256 water_wheel trace's unattributed op tail)."""
     for a in articulations:
         b = _apply_one(b, a, dt)
+
+    if len(articulations) == 1 and (
+        articulations[0].kind in ("rotation", "frozen", "distance")
+    ):
+        iterations = 1
 
     def body(_, bb):
         for a in articulations:

@@ -42,6 +42,47 @@ def state_mask(num_rigids: int) -> int:
     return m
 
 
+def _explicit_inv(M):
+    """Batched explicit 2x2 / 3x3 adjugate inverse. jnp.linalg.inv on
+    a (B, 3, 3) batch lowers to an LuDecompositionBlock custom-call +
+    batched triangular solves — measured ~13 ms/substep at 16.3k
+    boundary elements in the r5 res-256 water_wheel trace (it was the
+    single largest device op). The unrolled adjugate is a handful of
+    VPU fusions (the CLAUDE.md batched-3x3 invariant applies to the
+    bp-sized prologue too)."""
+    d = M.shape[-1]
+    if d == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 0]
+        dd = M[..., 1, 1]
+        det = a * dd - b * c
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        return jnp.stack([
+            jnp.stack([dd * inv_det, -b * inv_det], -1),
+            jnp.stack([-c * inv_det, a * inv_det], -1),
+        ], -2)
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    dm, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - dm * i
+    A11 = a * i - c * g
+    A12 = c * dm - a * f
+    A20 = dm * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * dm
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([
+        jnp.stack([A00 * inv_det, A01 * inv_det, A02 * inv_det], -1),
+        jnp.stack([A10 * inv_det, A11 * inv_det, A12 * inv_det], -1),
+        jnp.stack([A20 * inv_det, A21 * inv_det, A22 * inv_det], -1),
+    ], -2)
+
+
 def _element_frame_inverse(elem):
     """Per-element frame inverse, hoisted OUT of the stencil-offset
     loops: the rasterizes evaluate element coordinates at 27 offsets
@@ -60,7 +101,7 @@ def _element_frame_inverse(elem):
         n = jnp.cross(e1, e2)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
         M = jnp.stack([e1, e2, n], -1)
-    return v0, jnp.linalg.inv(M)
+    return v0, _explicit_inv(M)
 
 
 def _frame_coords(v0, Minv, xg):
@@ -631,12 +672,53 @@ def gather_cdf(p_x, p_states, grid_dist, grid_rid, grid_states, num_rigids: int,
     )
 
 
-def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfig):
+def stencil_node_data(p_x, ncdf, cfg: SimConfig):
+    """Per-offset node lookups + weights for the quadratic stencil of
+    each particle, computed ONCE and shared by gather_cdf_lookup AND
+    the p2g/g2p correction passes (all three index the IDENTICAL
+    (P, 27) node set at the same pre-advection positions — the rslot
+    and pk record gathers cost ~14 ns/row each, and running them three
+    times was ~a third of the res-256 CPIC substep, r5 trace).
+
+    Returns {off: (nidx, inb, s, nrid, dist_world, wo, gradw, dpos)}.
+    Only valid when cfg.kernel_order == 2 (the CDF gather order)."""
+    d = cfg.dim
+    nodes = cfg.grid_nodes
+    pos = p_x * cfg.inv_dx
+    base, w, dw = bspline_weights(2, pos)
+    # per-offset lookups, deliberately: a (27, B, 3)-batched lookup was
+    # tried in r5 and measured net-negative (gathers are row-cost-
+    # bound; the stacked index arithmetic outweighs the saved launches)
+    data = {}
+    for off in stencil_offsets(d, 2):
+        nidx = base + jnp.asarray(off, jnp.int32)
+        inb = jnp.all((nidx >= 0) & (nidx < jnp.asarray(nodes)), -1)
+        s, nrid, dist = ncdf.lookup(nidx, inb)
+        wo = w[:, 0, off[0]]
+        for k in range(1, d):
+            wo = wo * w[:, k, off[k]]
+        gradw = []
+        for k in range(d):
+            g = dw[:, k, off[k]]
+            for j in range(d):
+                if j != k:
+                    g = g * w[:, j, off[j]]
+            gradw.append(g * cfg.inv_dx)
+        gradw = jnp.stack(gradw, -1)
+        dpos = pos - nidx.astype(pos.dtype)
+        data[off] = (nidx, inb, s, nrid, dist, wo, gradw, dpos)
+    return data
+
+
+def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfig,
+                      node_data=None):
     """Grid CDF -> particle affinity + boundary distance/normal.
 
     Args:
       p_x: (P, d) particle positions; p_states: (P,) int32 affinity;
       node_lookup(idx, inb) -> (states, dist_world) at node indices.
+      node_data: optional precomputed stencil_node_data dict (shared
+        with the correction passes); None keeps the internal lookups.
     Returns (states, bdist, bnormal, near_b): updated affinity, signed
     boundary distance (world units), unit normal, near-boundary flag.
     """
@@ -647,15 +729,19 @@ def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfi
     smask = state_mask(R)
 
     pos = p_x * cfg.inv_dx
-    base, w, _ = bspline_weights(2, pos)  # cdf_kernel_order_gather = 2
+    if node_data is None:
+        base, w, _ = bspline_weights(2, pos)  # cdf_kernel_order_gather = 2
 
     offs = stencil_offsets(d, 2)
 
     _cache = {}
 
-    def node_data(off):
+    def node_data_of(off):
         # both passes read the same 27 offsets: gather once, reuse
         # (each record lookup costs ~14 ns/row; P is budget-sized)
+        if node_data is not None:
+            _, _, s, _, dist_w, wo, _, dpos = node_data[off]
+            return s, dist_w * cfg.inv_dx, wo, dpos
         if off in _cache:
             return _cache[off]
         idx = base + jnp.asarray(off, jnp.int32)
@@ -669,13 +755,14 @@ def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfi
         _cache[off] = (s, dist, wo, dpos)
         return _cache[off]
 
+
     # Pass 1: affinity update (rigid_transfer.cpp:156-207).
     all_b = jnp.zeros((P,), jnp.int32)
     rr = jnp.arange(R, dtype=jnp.int32)[None, :]
     wd_pos = jnp.zeros((P, R), jnp.float32)
     wd_neg = jnp.zeros((P, R), jnp.float32)
     for off in offs:
-        s, dist, wo, _ = node_data(off)
+        s, dist, wo, _ = node_data_of(off)
         all_b = all_b | (s & smask)
         touch = ((s[:, None] >> (2 * rr + 1)) & 1).astype(jnp.float32)
         neg = ((s[:, None] >> (2 * rr)) & 1).astype(jnp.float32)
@@ -701,7 +788,7 @@ def gather_cdf_lookup(p_x, p_states, node_lookup, num_rigids: int, cfg: SimConfi
     XtX = [[jnp.zeros((P,), jnp.float32) for _ in range(m)] for _ in range(m)]
     XtY = [jnp.zeros((P,), jnp.float32) for _ in range(m)]
     for off in offs:
-        s, dist, wo, dpos = node_data(off)
+        s, dist, wo, dpos = node_data_of(off)
         valid = s != 0
         mask = (s & states & smask) >> 1
         same = (s & mask) == (states & mask)

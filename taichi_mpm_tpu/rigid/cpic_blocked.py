@@ -128,10 +128,12 @@ def compact_near_rigid_ranges(
     n_coarse = offs[-1]
     B1 = min(b1 if b1 else 4 * budget, p.capacity)
     j = jnp.arange(B1, dtype=jnp.int32)
-    slot = jnp.clip(
-        jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1,
-        0, K - 1,
-    )
+    # counting-sort form of searchsorted(offs, arange, 'right') - 1
+    # (see cpic_packed.compact_near_rigid_packed)
+    starts = jnp.zeros((B1 + 1,), jnp.int32).at[
+        jnp.clip(offs[1:], 0, B1)
+    ].add(1)
+    slot = jnp.clip(jnp.cumsum(starts[:B1]), 0, K - 1)
     idx1 = jnp.clip(pm["s_arr"][slot] + j - offs[slot], 0, p.capacity - 1)
     valid1 = j < jnp.minimum(n_coarse, B1)
 
@@ -253,14 +255,19 @@ def _near_values(p: Particles, idx, cfg: SimConfig, dt):
 
 def p2g_correction(
     p, idx, valid, pm, ncdf, bodies, rec, cfg: SimConfig, dt,
-    world_off=None,
+    world_off=None, node_data=None,
 ):
     """Undo the plain scatter at color-incompatible nodes for the
     near-rigid subset; turn it into rigid impulses.
 
     In the multichip local frame, p.x / grid arrays / cfg are LOCAL and
     `world_off` (3,) shifts node positions back to world coordinates for
-    the rigid-dynamics terms (velocity_at / torque arms)."""
+    the rigid-dynamics terms (velocity_at / torque arms).
+
+    node_data: optional cdf.stencil_node_data dict for p.x[idx] —
+    reuses the (B, 27) record lookups + weights shared with the CDF
+    gather and the G2P correction (bitwise-identical values; only
+    valid when kernel_order == 2)."""
     K = pm["ids"].shape[0]
     R = bodies.num
     smask = cdf.state_mask(R)
@@ -273,7 +280,8 @@ def p2g_correction(
     mv_p = mass[:, None] * vel
 
     pos = x * cfg.inv_dx
-    base, w, dw = bspline_weights(cfg.kernel_order, pos)
+    if node_data is None:
+        base, w, dw = bspline_weights(cfg.kernel_order, pos)
 
     # per-channel FLAT scatters: a (B, 4)-windowed scatter was tried
     # here (round 4) and Mosaic/XLA lowered it to a SERIALIZED per-row
@@ -286,22 +294,27 @@ def p2g_correction(
     tau_tot = jnp.zeros((R, 1 if d == 2 else 3), jnp.float32)
 
     for off in stencil_offsets(d, cfg.kernel_order):
-        nidx = base + jnp.asarray(off, jnp.int32)
-        dpos = pos - nidx.astype(pos.dtype)
-        wo = w[:, 0, off[0]]
-        for k in range(1, d):
-            wo = wo * w[:, k, off[k]]
-        gradw = []
-        for k in range(d):
-            g = dw[:, k, off[k]]
-            for j in range(d):
-                if j != k:
-                    g = g * w[:, j, off[j]]
-            gradw.append(g * cfg.inv_dx)
-        gradw = jnp.stack(gradw, -1)
+        if node_data is not None:
+            nidx, inb, s, nrid, _, wo, gradw, dpos = node_data[off]
+        else:
+            nidx = base + jnp.asarray(off, jnp.int32)
+            dpos = pos - nidx.astype(pos.dtype)
+            wo = w[:, 0, off[0]]
+            for k in range(1, d):
+                wo = wo * w[:, k, off[k]]
+            gradw = []
+            for k in range(d):
+                g = dw[:, k, off[k]]
+                for j in range(d):
+                    if j != k:
+                        g = g * w[:, j, off[j]]
+                gradw.append(g * cfg.inv_dx)
+            gradw = jnp.stack(gradw, -1)
 
-        inb = jnp.all((nidx >= 0) & (nidx < jnp.asarray(cfg.grid_nodes)), -1)
-        s, nrid, _ = ncdf.lookup(nidx, inb)
+            inb = jnp.all(
+                (nidx >= 0) & (nidx < jnp.asarray(cfg.grid_nodes)), -1
+            )
+            s, nrid, _ = ncdf.lookup(nidx, inb)
         compat = _compatible(s, pstates, smask)
         hit = valid & inb & (~compat) & (nrid >= 0)
 
@@ -343,11 +356,14 @@ def p2g_correction(
 
 def g2p_correction(
     p, idx, valid, pm, ncdf, bodies, vrec, cfg: SimConfig, dt,
-    world_off=None,
+    world_off=None, node_data=None,
 ):
     """Per-offset corrections for the near-rigid subset: replace the
     gathered grid velocity at incompatible nodes by the CPIC ghost value
-    (transfer.cpp:620-646). Returns (dv (B,3), dB (B,3,3), rid_last)."""
+    (transfer.cpp:620-646). Returns (dv (B,3), dB (B,3,3), rid_last).
+
+    node_data: optional shared cdf.stencil_node_data dict (see
+    p2g_correction)."""
     K = pm["ids"].shape[0]
     R = bodies.num
     smask = cdf.state_mask(R)
@@ -360,7 +376,8 @@ def g2p_correction(
     near_b = p.near_b[idx]
 
     pos = x * cfg.inv_dx
-    base, w, _ = bspline_weights(cfg.kernel_order, pos)
+    if node_data is None:
+        base, w, _ = bspline_weights(cfg.kernel_order, pos)
     # flat per-channel gathers (windowed gathers serialize; see
     # p2g_correction)
     vflat = jnp.concatenate([vrec.reshape(-1), jnp.zeros((192,), vrec.dtype)])
@@ -371,14 +388,19 @@ def g2p_correction(
     rid_last = jnp.full((B,), -1, jnp.int32)
 
     for off in stencil_offsets(d, cfg.kernel_order):
-        nidx = base + jnp.asarray(off, jnp.int32)
-        dpos = pos - nidx.astype(pos.dtype)
-        wo = w[:, 0, off[0]]
-        for k in range(1, d):
-            wo = wo * w[:, k, off[k]]
+        if node_data is not None:
+            nidx, inb, s, nrid, _, wo, _, dpos = node_data[off]
+        else:
+            nidx = base + jnp.asarray(off, jnp.int32)
+            dpos = pos - nidx.astype(pos.dtype)
+            wo = w[:, 0, off[0]]
+            for k in range(1, d):
+                wo = wo * w[:, k, off[k]]
 
-        inb = jnp.all((nidx >= 0) & (nidx < jnp.asarray(cfg.grid_nodes)), -1)
-        s, nrid, _ = ncdf.lookup(nidx, inb)
+            inb = jnp.all(
+                (nidx >= 0) & (nidx < jnp.asarray(cfg.grid_nodes)), -1
+            )
+            s, nrid, _ = ncdf.lookup(nidx, inb)
         compat = _compatible(s, pstates, smask)
         incompat = valid & inb & (~compat)
 

@@ -76,7 +76,13 @@ def _bits_f(a):
 def gather_mini(st, idx, pw):
     """Budget-sized Particles view gathered from packed rows at idx.
     Downstream correction passes index it with arange (identity), so
-    the pytree-form correction code runs unchanged on packed state."""
+    the pytree-form correction code runs unchanged on packed state.
+
+    Per-row 1-D gathers, deliberately: a single (48*B,) flat-index
+    gather was tried in r5 and measured NET-NEGATIVE — the gathers are
+    row-cost-bound (~14 ns/row), so batching saves no row work and the
+    wider index arithmetic costs more than the launch overhead it
+    removes."""
     g = lambda r: row(st, r, pw)[idx]
     m33 = lambda r0: jnp.stack(
         [jnp.stack([g(r0 + 3 * i + j) for j in range(3)], -1)
@@ -134,10 +140,14 @@ def compact_near_rigid_packed(
     n_coarse = offs[-1]
     B1 = min(b1 if b1 else 4 * budget, pw)
     j = jnp.arange(B1, dtype=jnp.int32)
-    slot = jnp.clip(
-        jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1,
-        0, K - 1,
-    )
+    # slot-of-j by scatter + cumsum: searchsorted(offs, j, 'right') - 1
+    # with ARANGE queries is just a counting sort — the vmap'd binary
+    # search ran 13 gather iterations over B1 (1.7 ms/substep at the
+    # r5 res-256 trace); one K-row scatter + a B1 cumsum is exact
+    starts = jnp.zeros((B1 + 1,), jnp.int32).at[
+        jnp.clip(offs[1:], 0, B1)
+    ].add(1)
+    slot = jnp.clip(jnp.cumsum(starts[:B1]), 0, K - 1)
     idx1 = jnp.clip(pm["s_arr"][slot] + j - offs[slot], 0, pw - 1)
     valid1 = j < jnp.minimum(n_coarse, B1)
 
@@ -234,8 +244,16 @@ def cpic_packed_substep_presorted(
     x_c = jnp.stack([row(st, RX + k, pw)[idx] for k in range(3)], -1)
     if world_off is not None:
         x_c = x_c - world_off
+    # ONE (B, 27) record-lookup pass shared by the CDF gather and both
+    # correction passes — all three index the identical node set at the
+    # same pre-advection positions (bitwise-identical values; running
+    # the rslot+pk gathers three times was ~1/3 of the res-256 CPIC
+    # substep, r5 trace)
+    nd = (cdf.stencil_node_data(x_c, ncdf, gcfg)
+          if gcfg.kernel_order == 2 else None)
     st_c, bd_c, bn_c, nb_c = cdf.gather_cdf_lookup(
-        x_c, _bits_i(row(st, RSTATES, pw)[idx]), _sd_lookup, R, gcfg
+        x_c, _bits_i(row(st, RSTATES, pw)[idx]), _sd_lookup, R, gcfg,
+        node_data=nd,
     )
     zero = jnp.zeros((pw,), jnp.float32)
     states_row = zero.at[idx].set(
@@ -275,7 +293,7 @@ def cpic_packed_substep_presorted(
     aidx = jnp.arange(idx.shape[0], dtype=jnp.int32)
     rec, J1, tau1 = p2g_correction(
         mini, aidx, valid, pm, ncdf, bodies, rec, gcfg, dt,
-        world_off=world_off,
+        world_off=world_off, node_data=nd,
     )
     if exchange_fn is not None:
         rec = exchange_fn(rec)
@@ -304,7 +322,7 @@ def cpic_packed_substep_presorted(
     )
     dv, dB, rid_last = g2p_correction(
         mini, aidx, valid, pm, ncdf, bodies, vrec, gcfg, dt,
-        world_off=world_off,
+        world_off=world_off, node_data=nd,
     )
     vmask = valid & mini.active
     # row-wise 1-D scatter-adds: a single 2-D column scatter
