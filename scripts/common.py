@@ -35,9 +35,15 @@ def parse_args(**defaults):
 
 
 def mpm_class():
-    """The scene's solver class: `MPM`, or `DistributedMPM` over the
-    first SHARDS=N devices (scenes stay driver-agnostic — the
-    distributed driver exposes the same API)."""
+    """The scene's solver class: `MPM`; `DistributedMPM` over the
+    first SHARDS=N devices; or `AsyncMPM` with ASYNC=1 (global
+    POT-snapped adaptive dt — works on CPIC scenes too). Scenes stay
+    driver-agnostic — all drivers expose the same API.
+
+    ASYNC knobs: UNIT_DT (min POT unit, default 1e-6) and
+    ASYNC_MAX_DT (overrides the scene's base_delta_t as the MAX dt —
+    scenes pick base_delta_t for fixed-dt stability, so the adaptive
+    scheduler needs a higher ceiling to coarsen into)."""
     import functools
 
     n = int(os.environ.get("SHARDS", "1"))
@@ -45,6 +51,19 @@ def mpm_class():
         from taichi_mpm_tpu.parallel.driver import DistributedMPM
 
         return functools.partial(DistributedMPM, n_shards=n)
+    if os.environ.get("ASYNC", "0") == "1":
+        from taichi_mpm_tpu.core.adaptive import AsyncMPM
+
+        unit = float(os.environ.get("UNIT_DT", "1e-6"))
+        max_dt = os.environ.get("ASYNC_MAX_DT")
+
+        def cls(*a, **k):
+            if max_dt is not None:
+                k["base_delta_t"] = float(max_dt)
+            k.setdefault("unit_delta_t", unit)
+            return AsyncMPM(*a, **k)
+
+        return cls
     from taichi_mpm_tpu.core.solver import MPM
 
     return MPM
